@@ -1,0 +1,24 @@
+"""Integrators (the reference's three registered plugins, rebuilt wavefront).
+
+- tomography: absorption-only (reference volprim_tomography)
+- rf: radiance-field / 3DGS compositing (reference volprim_rf)
+- prb: volumetric path tracer with NEE (reference volprim_prb)
+"""
+
+from . import base  # noqa: F401
+
+REGISTRY = {}
+
+
+def register_integrator(name):
+    def deco(fn):
+        REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+from . import tomography  # noqa: E402,F401
+from .base import Film, render, render_batch  # noqa: E402
+from . import rf  # noqa: E402,F401
+from . import prb  # noqa: E402,F401

@@ -1,0 +1,519 @@
+"""Volumetric-primitive path tracer with NEE (physically-based scattering).
+
+Functional rebuild of the reference's ``volprim_prb`` plugin
+(``/root/reference/volprim/integrators/volprim_prb.py``) and of the
+Primitive Tracing algorithm it drives (``common.py:374-562``). The
+reference's architecture — per-lane ``dr.Local`` stacks of overlapping
+primitives, nested traced while-loops over boundary crossings, per-segment
+callbacks — is replaced by fixed-shape wavefront stages:
+
+free-flight sampling (reference ``primitive_tracing`` + ``sample_segment``,
+prb:513-557):
+  1. *Interval gathering*: a streaming top-K selects, per ray, the K nearest
+     [entry, exit) intervals of extent ellipsoids (entries clamped to the
+     window start; primitives already containing the origin keep their real
+     exits — the overlap-set carry of common.py:428-441).
+  2. *Segment scan*: the sorted union of interval boundaries forms segments;
+     a ``lax.scan`` walks them, accumulating per-segment optical depth
+     tau_s = sum_j sigma_t_j * D_j(seg) over the covering primitives
+     (prb:523-536) and testing the sampling condition T * seg_tr < xi
+     (prb:540-543). On success the exact distance is solved by the same
+     fixed-iteration bisection on the segment CDF (prb:559-654).
+  3. *Window continuation*: rays whose K-interval window is exhausted
+     continue from the window end — the analogue of the reference's
+     unbounded march with its ``max_depth_primitive`` cap (prb:60,456-459).
+
+At an interaction the collision albedo is the sigma_t-pdf-weighted average
+over covering primitives (``eval_albedo``, prb:434-511 — the manual 3-term
+adjoint there is replaced by exact XLA AD). NEE samples the environment
+emitter with transmittance re-evaluation along the shadow ray
+(prb:195-235); escaping rays pick up the emitter with MIS against the NEE
+pdf (prb:165-187). Transmittance along a ray is order-independent
+(exp of a sum of per-primitive segment integrals, prb:303-432), so it is a
+chunked masked reduction like the tomography integrator.
+
+Surfaces/BSDFs (prb:262-282) are not yet supported: the five tracked
+BASELINE configs are primitives + environment only (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import register_integrator
+from ..ops import quadric
+from ..ops.kernels import Kernel
+from ..scene.ellipsoids import EllipsoidScene
+from .base import pad_primitives
+
+_BIG_T = 1e7  # effective infinity for shadow-ray segment integrals
+
+
+@dataclasses.dataclass(frozen=True)
+class PRBConfig:
+    max_depth: int = -1  # -1 = unlimited (prb:39-42); capped by bounce_cap
+    rr_depth: int = -1
+    use_nee: bool = True  # prb:48
+    use_indirect: bool = True  # prb:49
+    hide_emitters: bool = False
+    kernel_type: str = "gaussian"
+    max_overlaps: int = 32  # interval-window size (prb:59)
+    max_windows: int = 8  # window continuations; max_overlaps * max_windows
+    #                       plays the role of max_depth_primitive=256 (prb:60)
+    solver_max_iterations: int = 4  # prb:63
+    solver_type: str = "bisection"  # 'bisection' | 'disabled' (prb:64-65)
+    phase: str = "isotropic"  # prb:51-53
+    phase_g: float = 0.0  # Henyey-Greenstein g when phase == 'hg'
+    bounce_cap: int = 64  # static bound when max_depth == -1
+    chunk_size: int = 1024  # shadow-ray transmittance chunking
+
+    @property
+    def kernel(self) -> Kernel:
+        # Forced by the integrator (prb:55-57).
+        return Kernel(self.kernel_type, normalized=False, full_range=False)
+
+    @property
+    def num_bounces(self) -> int:
+        return self.max_depth if self.max_depth > 0 else self.bounce_cap
+
+    @property
+    def use_rr(self) -> bool:
+        return 0 <= self.rr_depth < (
+            self.max_depth if self.max_depth > 0 else 2**31
+        )
+
+
+def _mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
+    """Power heuristic (mitsuba.ad.integrators.common.mis_weight)."""
+    a2 = pdf_a * pdf_a
+    w = a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30)
+    return jnp.where(pdf_a > 0.0, w, 0.0)
+
+
+def _safe_rcp(x: jnp.ndarray) -> jnp.ndarray:
+    """common.py:337-338."""
+    return jnp.where(x != 0.0, 1.0 / jnp.where(x == 0.0, 1.0, x), 0.0)
+
+
+def _gather_intervals(
+    prims: EllipsoidScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_min: jnp.ndarray,
+    k: int,
+    chunk_size: int,
+):
+    """Per-ray K nearest [entry, exit) extent-ellipsoid intervals with
+    entry >= t_min (entries clamped to t_min for overlapping primitives).
+
+    Returns (entry [R, k] ascending, exit [R, k], ids [R, k], count [R]).
+    """
+    padded = pad_primitives(prims, chunk_size)
+    n = padded.num_prims
+    c = min(chunk_size, n)
+    n_chunks = n // c
+    centers = padded.centers.reshape(n_chunks, c, 3)
+    scales = padded.scales.reshape(n_chunks, c, 3)
+    quats = padded.quats.reshape(n_chunks, c, 4)
+
+    r = o.shape[0]
+    inf = jnp.inf
+
+    def body(carry, inputs):
+        best_t, best_exit, best_id = carry
+        chunk_idx, ctr, scl, qt = inputs
+        coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
+        valid, t_near, t_far = quadric.intersect_extent(coeffs, padded.extent)
+        entry = jnp.maximum(t_near, t_min[:, None])
+        valid = valid & (t_far > t_min[:, None])
+        entry = jnp.where(valid, entry, inf)
+        ck = min(k, c)
+        neg_t, idx = jax.lax.top_k(-entry, ck)
+        ids = chunk_idx * c + idx.astype(jnp.int32)
+        exits = jnp.take_along_axis(jnp.where(valid, t_far, inf), idx, axis=-1)
+        cand_t = jnp.concatenate([best_t, -neg_t], axis=-1)
+        cand_exit = jnp.concatenate([best_exit, exits], axis=-1)
+        cand_id = jnp.concatenate([best_id, ids], axis=-1)
+        neg_t2, sel = jax.lax.top_k(-cand_t, k)
+        return (
+            -neg_t2,
+            jnp.take_along_axis(cand_exit, sel, axis=-1),
+            jnp.take_along_axis(cand_id, sel, axis=-1),
+        ), None
+
+    init = (
+        jnp.full((r, k), inf, o.dtype),
+        jnp.full((r, k), inf, o.dtype),
+        jnp.zeros((r, k), jnp.int32),
+    )
+    (entry, exit_t, ids), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), centers, scales, quats)
+    )
+    count = jnp.sum(jnp.isfinite(entry), axis=-1)
+    return entry, exit_t, ids, count
+
+
+def _free_flight_window(
+    kern: Kernel,
+    entry: jnp.ndarray,  # [R, K] ascending
+    exit_t: jnp.ndarray,  # [R, K]
+    coeffs: quadric.QuadricCoeffs,  # [R, K] per gathered pair
+    sigma_t: jnp.ndarray,  # [R, K]
+    s_prod: jnp.ndarray,  # [R, K]
+    t_limit: jnp.ndarray,  # [R] window end (inf when window complete)
+    trans: jnp.ndarray,  # [R] running transmittance at window start
+    xi: jnp.ndarray,  # [R] free-flight sample
+    active: jnp.ndarray,  # [R]
+    solver_iters: int,
+    solver_type: str,
+):
+    """Walk the sorted boundary segments of one interval window.
+
+    Returns (trans_out, found, t_sampled). Mirrors sample_segment
+    (prb:513-557) + the bisection solver (prb:559-654).
+    """
+    k = entry.shape[1]
+    events = jnp.sort(jnp.concatenate([entry, exit_t], axis=-1), axis=-1)
+
+    def seg_tau(t0, t1, valid):
+        """tau over [t0, t1] summed across covering primitives; [R]."""
+        mid = 0.5 * (t0 + t1)
+        cover = (entry <= mid[:, None]) & (exit_t >= mid[:, None])
+        dens = kern.density_integral(
+            coeffs, s_prod, None, 0.0, t0[:, None], t1[:, None], cover
+        )
+        return jnp.where(valid, jnp.sum(dens * sigma_t, axis=-1), 0.0)
+
+    def solve_in_segment(t0, t1, chi, cover, act):
+        """Bisection for tau(t0 -> t_s) = chi within [t0, t1] (prb:559-654)."""
+        if solver_type == "disabled":
+            return 0.5 * (t0 + t1)  # prb:545-548
+
+        def tau_to(ts):
+            dens = kern.density_integral(
+                coeffs, s_prod, None, 0.0, t0[:, None], ts[:, None], cover
+            )
+            return jnp.sum(dens * sigma_t, axis=-1)
+
+        def body(i, ts):
+            tau = tau_to(ts)
+            step = (t1 - t0) / (2.0 ** (i.astype(t0.dtype) + 2.0))
+            ts = jnp.where(tau > chi, ts - step, ts + step)
+            ts = jnp.clip(ts, t0, t1)
+            return ts
+
+        ts = jax.lax.fori_loop(0, solver_iters, body, 0.5 * (t0 + t1))
+        return jnp.where(act, ts, 0.0)
+
+    def step(carry, s):
+        trans_c, found, t_samp = carry
+        t0 = events[:, s]
+        t1 = events[:, s + 1]
+        valid = (
+            jnp.isfinite(t1)
+            & (t1 > t0)
+            & (t1 <= t_limit)
+            & ~found
+            & active
+        )
+        tau_s = seg_tau(t0, t1, valid)
+        seg_tr = jnp.exp(-tau_s)
+        success = valid & (trans_c * seg_tr < xi)  # prb:540-543
+        chi = -jnp.log(jnp.maximum(xi / jnp.maximum(trans_c, 1e-30), 1e-30))
+        mid = 0.5 * (t0 + t1)
+        cover = (entry <= mid[:, None]) & (exit_t >= mid[:, None])
+        ts = solve_in_segment(t0, t1, chi, cover, success)
+        t_samp = jnp.where(success, ts, t_samp)
+        found = found | success
+        trans_c = jnp.where(valid & ~success, trans_c * seg_tr, trans_c)
+        return (trans_c, found, t_samp), None
+
+    init = (trans, jnp.zeros_like(xi, bool), jnp.full_like(xi, jnp.inf))
+    (trans_out, found, t_samp), _ = jax.lax.scan(
+        step, init, jnp.arange(2 * k - 1)
+    )
+    return trans_out, found, t_samp
+
+
+def free_flight(
+    primitives: EllipsoidScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    xi: jnp.ndarray,
+    cfg: PRBConfig,
+    active: jnp.ndarray,
+):
+    """Sample a medium interaction along each ray (exact inverse-CDF over the
+    piecewise multi-primitive density).
+
+    Returns (found [R], dead [R], t_samp [R], albedo [R, 3]).
+    ``dead`` marks rays that exhausted the window budget before resolving
+    (the reference kills such paths via max_depth_primitive, prb:456-459).
+    """
+    primitives.require_attrs(["sigma_t", "albedo"])
+    kern = cfg.kernel
+    k = cfg.max_overlaps
+    r = o.shape[0]
+
+    t_min = jnp.zeros((r,), o.dtype)
+    trans = jnp.ones((r,), o.dtype)
+    found = jnp.zeros((r,), bool)
+    resolved = jnp.zeros((r,), bool)  # found or confirmed escape
+    t_samp = jnp.full((r,), jnp.inf, o.dtype)
+    albedo = jnp.zeros((r, 3), o.dtype)
+
+    sig_all = primitives.attrs["sigma_t"][:, 0]
+    alb_all = primitives.attrs["albedo"]
+
+    for _ in range(cfg.max_windows):
+        win_active = active & ~resolved
+        entry, exit_t, ids, count = _gather_intervals(
+            primitives, o, d, t_min, k, cfg.chunk_size
+        )
+        ctr = primitives.centers[ids]
+        scl = primitives.scales[ids]
+        qt = primitives.quats[ids]
+        coeffs = quadric.pair_coeffs(
+            o[:, None, :], d[:, None, :], ctr, scl, qt
+        )
+        sigma_t = sig_all[ids]
+        s_prod = scl[..., 0] * scl[..., 1] * scl[..., 2]
+        # Window end: if the window is full the last entry bounds what we can
+        # resolve; otherwise everything is known.
+        full = count >= k
+        t_limit = jnp.where(full, entry[:, -1], jnp.inf)
+
+        trans_new, found_w, ts_w = _free_flight_window(
+            kern, entry, exit_t, coeffs, sigma_t, s_prod, t_limit,
+            trans, xi, win_active,
+            cfg.solver_max_iterations, cfg.solver_type,
+        )
+
+        # Albedo at newly found interactions (prb:434-511, primal estimator).
+        new_found = win_active & found_w
+        q_at = (coeffs.a * ts_w[:, None] + 2.0 * coeffs.b) * ts_w[:, None] + coeffs.c
+        cover = (entry <= ts_w[:, None]) & (exit_t >= ts_w[:, None])
+        pdf_j = jnp.where(cover, kern.pdf_q(q_at, s_prod) * sigma_t, 0.0)
+        accum_pdf = jnp.sum(pdf_j, axis=-1)
+        accum_alb = jnp.einsum("rk,rkc->rc", pdf_j, alb_all[ids])
+        alb_w = accum_alb * _safe_rcp(accum_pdf)[:, None]
+
+        trans = jnp.where(win_active, trans_new, trans)
+        t_samp = jnp.where(new_found, ts_w, t_samp)
+        albedo = jnp.where(new_found[:, None], alb_w, albedo)
+        found = found | new_found
+        resolved = resolved | found | (win_active & ~full)
+        t_min = jnp.where(win_active & ~resolved, t_limit, t_min)
+
+    dead = active & ~resolved  # window budget exhausted
+    return found, dead, t_samp, albedo
+
+
+def transmittance(
+    primitives: EllipsoidScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    cfg: PRBConfig,
+    t_max: float = _BIG_T,
+) -> jnp.ndarray:
+    """Transmittance along [0, t_max] — order-independent chunked reduction
+    (reference eval_transmittance, prb:303-432, whose march multiplies
+    exp(-sigma_t * integral) per primitive; here exp of the masked sum)."""
+    kern = cfg.kernel
+    prims = pad_primitives(primitives, cfg.chunk_size)
+    n = prims.num_prims
+    c = min(cfg.chunk_size, n)
+    n_chunks = n // c
+    centers = prims.centers.reshape(n_chunks, c, 3)
+    scales = prims.scales.reshape(n_chunks, c, 3)
+    quats = prims.quats.reshape(n_chunks, c, 4)
+    sigma_t = prims.attrs["sigma_t"].reshape(n_chunks, c)
+
+    @jax.checkpoint
+    def chunk_tau(chunk):
+        ctr, scl, qt, sig = chunk
+        coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
+        valid, _, t_far = quadric.intersect_extent(coeffs, prims.extent)
+        valid = valid & (t_far > 0.0)
+        s_prod = (scl[:, 0] * scl[:, 1] * scl[:, 2])[None, :]
+        t0 = jnp.zeros((o.shape[0], 1), o.dtype)
+        t1 = jnp.full((o.shape[0], 1), t_max, o.dtype)
+        dens = kern.density_integral(
+            coeffs, s_prod, None, 0.0, t0, t1, valid
+        )
+        return jnp.sum(dens * sig[None, :], axis=-1)
+
+    def body(tau, chunk):
+        return tau + chunk_tau(chunk), None
+
+    tau, _ = jax.lax.scan(
+        body,
+        jnp.zeros((o.shape[0],), o.dtype),
+        (centers, scales, quats, sigma_t),
+    )
+    return jnp.exp(-tau)
+
+
+def _sample_phase(key, d_in, cfg: PRBConfig):
+    """Sample an outgoing direction. Returns (wo, phase_pdf). phase weight is
+    1 for both isotropic and HG (perfect importance sampling)."""
+    k1, k2 = jax.random.split(key)
+    r = d_in.shape[0]
+    u1 = jax.random.uniform(k1, (r,))
+    u2 = jax.random.uniform(k2, (r,))
+    if cfg.phase == "isotropic":
+        z = 1.0 - 2.0 * u1
+        pdf = jnp.full((r,), 1.0 / (4.0 * jnp.pi))
+    else:  # Henyey-Greenstein
+        g = cfg.phase_g
+        if abs(g) < 1e-3:
+            z = 1.0 - 2.0 * u1
+        else:
+            sq = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+            z = (1.0 + g * g - sq * sq) / (2.0 * g)
+        pdf = _hg_pdf(z, g)
+    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u2
+    local = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], axis=-1)
+    # Build an orthonormal frame around the scattering axis. Mitsuba's phase
+    # convention: wi = -d_in, wo sampled around the frame of wi; isotropic is
+    # frame-independent, HG measures cos(theta) w.r.t. the forward direction.
+    wo = _to_frame(d_in, local)
+    return wo, pdf
+
+
+def _hg_pdf(cos_theta, g):
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return (1.0 - g * g) / (4.0 * jnp.pi * denom * jnp.sqrt(jnp.maximum(denom, 1e-12)))
+
+
+def eval_phase_pdf(d_in: jnp.ndarray, wo: jnp.ndarray, cfg: PRBConfig):
+    if cfg.phase == "isotropic":
+        return jnp.full(d_in.shape[:-1], 1.0 / (4.0 * jnp.pi))
+    cos_theta = jnp.sum(d_in * wo, axis=-1)
+    return _hg_pdf(cos_theta, cfg.phase_g)
+
+
+def _to_frame(n: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
+    """Transform local coords (z along n) to world (branchless ONB)."""
+    nz = n[..., 2]
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack(
+        [1.0 + sign * n[..., 0] ** 2 * a, sign * b, -sign * n[..., 0]], axis=-1
+    )
+    bt = jnp.stack([b, sign + n[..., 1] ** 2 * a, -n[..., 1]], axis=-1)
+    return (
+        local[..., 0:1] * t + local[..., 1:2] * bt + local[..., 2:3] * n
+    )
+
+
+@register_integrator("volprim_prb")
+def radiance(
+    primitives: EllipsoidScene,
+    emitter,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    cfg: PRBConfig,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Path-traced radiance for a wavefront of rays (prb:74-301)."""
+    if emitter is None:
+        raise ValueError(
+            "volprim_prb requires an environment emitter (prb:76-80)"
+        )
+    key = key if key is not None else jax.random.PRNGKey(0)
+    r = o.shape[0]
+    n_steps = cfg.num_bounces
+
+    @jax.checkpoint
+    def bounce(carry, i):
+        o_c, d_c, beta, l_acc, active, prev_pdf = carry
+        kb = jax.random.fold_in(key, i)
+        k_ff, k_nee, k_phase, k_rr = jax.random.split(kb, 4)
+
+        xi = jax.random.uniform(k_ff, (r,), minval=1e-7, maxval=1.0)
+        found, dead, t_samp, albedo = free_flight(
+            primitives, o_c, d_c, xi, cfg, active
+        )
+        escaped = active & ~found & ~dead
+        active_medium = active & found
+        if cfg.max_depth > 0:
+            # depth is incremented before the depth test (prb:141-143).
+            active_medium = active_medium & ((i + 1) < cfg.max_depth)
+
+        # --- environment hit with MIS (prb:165-187) ---
+        if cfg.use_indirect:
+            if cfg.use_nee:
+                emitter_pdf = jnp.where(
+                    i > 0, emitter.pdf_direction(d_c), 0.0
+                )
+            else:
+                emitter_pdf = jnp.zeros((r,))
+            vis = escaped & ~((i == 0) & cfg.hide_emitters)
+            lr_dir = (
+                beta
+                * _mis_weight(prev_pdf, emitter_pdf)[:, None]
+                * emitter.eval(d_c)
+            )
+            l_acc = l_acc + jnp.where(vis[:, None], lr_dir, 0.0)
+
+        # --- collision albedo (prb:158-159) ---
+        beta = jnp.where(active_medium[:, None], beta * albedo, beta)
+        p_int = o_c + d_c * jnp.where(found, t_samp, 0.0)[:, None]
+
+        # --- NEE (prb:195-235) ---
+        if cfg.use_nee:
+            s2 = jax.random.uniform(k_nee, (r, 2))
+            ds_dir, ds_val, ds_pdf = emitter.sample_direction(s2)
+            tr = transmittance(primitives, p_int, ds_dir, cfg)
+            phase_val = eval_phase_pdf(-d_c, ds_dir, cfg)
+            phase_pdf = (
+                phase_val if cfg.use_indirect else jnp.zeros_like(phase_val)
+            )
+            lr_nee = (
+                beta
+                * phase_val[:, None]
+                * _mis_weight(ds_pdf, phase_pdf)[:, None]
+                * tr[:, None]
+                * ds_val
+                / jnp.maximum(ds_pdf, 1e-30)[:, None]
+            )
+            lr_nee = jnp.where(
+                (active_medium & (ds_pdf > 0.0))[:, None], lr_nee, 0.0
+            )
+            l_acc = l_acc + lr_nee
+
+        # --- phase sampling (prb:243-256) ---
+        wo, phase_pdf_s = _sample_phase(k_phase, d_c, cfg)
+        o_c = jnp.where(active_medium[:, None], p_int, o_c)
+        d_c = jnp.where(active_medium[:, None], wo, d_c)
+        prev_pdf = jnp.where(active_medium, phase_pdf_s, prev_pdf)
+
+        # --- RR + throughput kill (prb:288-298) ---
+        active = active_medium
+        if cfg.use_rr:
+            q = jnp.minimum(jnp.max(beta, axis=-1), 0.99)
+            perform = (i + 1) > cfg.rr_depth  # traced scalar
+            u = jax.random.uniform(k_rr, (r,))
+            active = active & ((u < q) | ~perform)
+            beta = jnp.where(perform, beta / jnp.maximum(q, 1e-6)[:, None], beta)
+        active = active & jnp.any(beta > 0.005, axis=-1)
+
+        return (o_c, d_c, beta, l_acc, active, prev_pdf), None
+
+    init = (
+        o,
+        d,
+        jnp.ones((r, 3), o.dtype),
+        jnp.zeros((r, 3), o.dtype),
+        jnp.ones((r,), bool),
+        jnp.ones((r,), o.dtype),  # prev_event_pdf = 1 (prb:95)
+    )
+    (_, _, _, l_acc, _, _), _ = jax.lax.scan(bounce, init, jnp.arange(n_steps))
+    return l_acc
