@@ -1,0 +1,167 @@
+"""PRB path tracer: free-flight distribution, transmittance, furnace test,
+score-function gradients (the reference's PRB adjoint machinery rebuilt as
+detached-ratio estimators — validated against analytic expectations)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volprim_tpu import scene
+from volprim_tpu.models.prb import (
+    PRBConfig,
+    free_flight,
+    radiance,
+    transmittance,
+)
+from volprim_tpu.ops import envmap, kernels, quadric
+
+
+def single_gaussian(sigma_t=4.0, albedo=0.9, scale=0.5):
+    f = scene.EllipsoidsFactory()
+    f.add(mean=[0, 0, 0], scale=scale, sigma_t=sigma_t, albedo=albedo)
+    return f.build()
+
+
+CFG = PRBConfig(
+    max_overlaps=4, max_windows=2, chunk_size=8, bounce_cap=32
+)
+
+
+def dup_rays(o, d, n):
+    o = jnp.tile(jnp.asarray(o, jnp.float32)[None, :], (n, 1))
+    d = jnp.tile(jnp.asarray(d, jnp.float32)[None, :], (n, 1))
+    return o, d
+
+
+def analytic_tr(s, o, d):
+    coeffs = quadric.ray_prim_coeffs(o[:1], d[:1], s.centers, s.scales, s.quats)
+    full = kernels.gaussian_integral_full(
+        coeffs, s.scale_prod()[None, :], jnp.ones_like(coeffs.a, bool)
+    )
+    sig = s.attrs["sigma_t"][:, 0]
+    return float(jnp.exp(-jnp.sum(full * sig[None, :], axis=-1))[0]), float(
+        jnp.sum(full, axis=-1)[0]
+    )
+
+
+def test_miss_gives_env():
+    s = single_gaussian()
+    em = envmap.ConstantEmitter(radiance=jnp.asarray([0.3, 0.5, 0.7]))
+    o, d = dup_rays([0, 5, -3], [0, 0, 1], 4)
+    out = np.asarray(radiance(s, em, o, d, CFG, jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(out, np.tile([[0.3, 0.5, 0.7]], (4, 1)), rtol=1e-5)
+
+
+def test_transmittance_matches_analytic():
+    s = single_gaussian(sigma_t=2.5)
+    o, d = dup_rays([0.1, -0.2, -5.0], [0, 0, 1], 2)
+    tr = np.asarray(transmittance(s, o, d, CFG))
+    coeffs = quadric.ray_prim_coeffs(o, d, s.centers, s.scales, s.quats)
+    t0 = jnp.zeros_like(coeffs.a)
+    t1 = jnp.full_like(coeffs.a, 1e7)
+    seg = kernels.gaussian_integral_segment(
+        coeffs, s.scale_prod()[None, :], t0, t1, jnp.ones_like(coeffs.a, bool)
+    )
+    expected = np.exp(-np.asarray(jnp.sum(seg * 2.5, axis=-1)))
+    np.testing.assert_allclose(tr, expected, rtol=1e-4)
+
+
+def test_free_flight_distribution():
+    s = single_gaussian(sigma_t=3.0)
+    n = 4096
+    o, d = dup_rays([0, 0, -5], [0, 0, 1], n)
+    t_exp, _ = analytic_tr(s, o, d)
+    xi = jax.random.uniform(jax.random.PRNGKey(1), (n,), minval=1e-7, maxval=1.0)
+    found, dead, t_samp, albedo, sf, se = free_flight(
+        s, o, d, xi, CFG, jnp.ones((n,), bool)
+    )
+    assert not bool(jnp.any(dead))
+    p_found = float(jnp.mean(found))
+    # P(interaction) = 1 - T; binomial 4-sigma tolerance
+    tol = 4.0 * np.sqrt(t_exp * (1 - t_exp) / n)
+    assert abs(p_found - (1.0 - t_exp)) < tol
+    # sampled distances are inside the extent ellipsoid (|t - 5| < 1.5 = 3*0.5)
+    ts = np.asarray(t_samp)[np.asarray(found)]
+    assert ts.min() > 3.4 and ts.max() < 6.6
+    # sampled-distance CDF check at the midpoint: T(t) = xi inversion means
+    # P(t_s < t | found) = (1 - T(t)) / (1 - T_inf)
+    coeffs = quadric.ray_prim_coeffs(o[:1], d[:1], s.centers, s.scales, s.quats)
+    seg = kernels.gaussian_integral_segment(
+        coeffs, s.scale_prod()[None, :],
+        jnp.zeros_like(coeffs.a), jnp.full_like(coeffs.a, 5.0),
+        jnp.ones_like(coeffs.a, bool),
+    )
+    t_mid = float(jnp.exp(-3.0 * seg[0, 0]))
+    frac = float((ts < 5.0).mean())
+    expected_frac = (1 - t_mid) / (1 - t_exp)
+    assert abs(frac - expected_frac) < 0.05
+
+
+def test_absorbing_equals_transmittance():
+    # albedo = 0: scattered paths die, E[L] = T * env
+    s = single_gaussian(sigma_t=3.0, albedo=0.0)
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    n = 4096
+    o, d = dup_rays([0, 0, -5], [0, 0, 1], n)
+    t_exp, _ = analytic_tr(s, o, d)
+    out = np.asarray(radiance(s, em, o, d, CFG, jax.random.PRNGKey(2)))
+    mean = out[:, 0].mean()
+    tol = 4.0 * np.sqrt(t_exp * (1 - t_exp) / n)
+    assert abs(mean - t_exp) < tol
+
+
+def test_furnace():
+    # albedo = 1 inside a uniform unit environment: radiance must be 1
+    # (up to bounce-cap/threshold truncation)
+    s = single_gaussian(sigma_t=3.0, albedo=1.0)
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    n = 2048
+    o, d = dup_rays([0, 0, -5], [0, 0, 1], n)
+    out = np.asarray(radiance(s, em, o, d, CFG, jax.random.PRNGKey(3)))
+    mean = out[:, 0].mean()
+    assert abs(mean - 1.0) < 0.03, f"furnace mean {mean}"
+
+
+def test_score_gradient_absorbing():
+    # Analytic check of the score-ratio estimator: for albedo=0,
+    # E[L] = exp(-sigma_t * D) * env, so dE/dsigma_t = -D * T * env.
+    s = single_gaussian(sigma_t=3.0, albedo=0.0)
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    n = 8192
+    o, d = dup_rays([0, 0, -5], [0, 0, 1], n)
+    t_exp, d_full = analytic_tr(s, o, d)
+
+    def loss(sig):
+        s2 = scene.EllipsoidScene(
+            s.centers, s.scales, s.quats,
+            {**s.attrs, "sigma_t": sig}, s.extent,
+        )
+        out = radiance(s2, em, o, d, CFG, jax.random.PRNGKey(4))
+        return jnp.mean(out[:, 0])
+
+    g = float(jax.grad(loss)(s.attrs["sigma_t"])[0, 0])
+    expected = -d_full * t_exp
+    # score-function estimator: escaped rays contribute -D each; variance
+    # ~ D^2 T(1-T)/n
+    tol = 4.0 * d_full * np.sqrt(t_exp * (1 - t_exp) / n) + 0.02 * abs(expected)
+    assert abs(g - expected) < tol, f"grad {g} vs {expected} +/- {tol}"
+
+
+def test_nee_mis_consistency():
+    # with and without NEE must agree in expectation (here: single scatter
+    # dominates). Use a sun-less smooth envmap so variance stays low.
+    s = single_gaussian(sigma_t=2.0, albedo=0.8)
+    rng = np.random.default_rng(0)
+    img = 0.5 + 0.4 * rng.random((8, 16, 3)).astype(np.float32)
+    em = envmap.EnvironmentMap.from_array(img)
+    n = 4096
+    o, d = dup_rays([0, 0, -5], [0, 0, 1], n)
+    cfg_nee = CFG
+    cfg_no = PRBConfig(
+        max_overlaps=4, max_windows=2, chunk_size=8, bounce_cap=32,
+        use_nee=False,
+    )
+    out_nee = np.asarray(radiance(s, em, o, d, cfg_nee, jax.random.PRNGKey(5)))
+    out_no = np.asarray(radiance(s, em, o, d, cfg_no, jax.random.PRNGKey(6)))
+    m1, m2 = out_nee.mean(axis=0), out_no.mean(axis=0)
+    np.testing.assert_allclose(m1, m2, rtol=0.06)

@@ -22,3 +22,15 @@ from . import tomography  # noqa: E402,F401
 from .base import Film, render, render_batch  # noqa: E402
 from . import rf  # noqa: E402,F401
 from . import prb  # noqa: E402,F401
+from . import gridvol  # noqa: E402,F401
+
+from .tomography import TomographyConfig  # noqa: E402
+from .rf import RFConfig  # noqa: E402
+from .prb import PRBConfig  # noqa: E402
+
+CONFIGS = {
+    "volprim_tomography": TomographyConfig,
+    "volprim_rf": RFConfig,
+    "volprim_prb": PRBConfig,
+}
+

@@ -47,8 +47,11 @@ def pad_primitives(prims: EllipsoidScene, multiple: int) -> EllipsoidScene:
     n_pad = (-n) % multiple
     if n_pad == 0:
         return prims
-    far = jnp.full((n_pad, 3), 1e8, prims.centers.dtype)
-    tiny = jnp.full((n_pad, 3), 1e-6, prims.scales.dtype)
+    # Moderate values: extreme centers/scales overflow the f32 quadric
+    # coefficients (b^2 -> inf) and would spuriously validate intersections.
+    # Consumers must additionally mask by index < num_prims.
+    far = jnp.full((n_pad, 3), 1e4, prims.centers.dtype)
+    tiny = jnp.ones((n_pad, 3), prims.scales.dtype)
     qid = jnp.tile(
         jnp.asarray([0.0, 0.0, 0.0, 1.0], prims.quats.dtype), (n_pad, 1)
     )
@@ -75,6 +78,16 @@ def _film_coords(spec: CameraSpecs, key: Optional[jax.Array], jitter: bool):
     return px + 0.5, py + 0.5
 
 
+
+def _as_key(seed):
+    """Accept python ints, traced int scalars, or PRNG keys as the seed."""
+    if isinstance(seed, int):
+        return jax.random.PRNGKey(seed)
+    if jnp.issubdtype(jnp.asarray(seed).dtype, jnp.integer):
+        return jax.random.PRNGKey(seed)
+    return seed
+
+
 RadianceFn = Callable[..., jnp.ndarray]
 
 
@@ -96,7 +109,7 @@ def render(
     """
     h, w = camera.height, camera.width
     splat = filters.splat_tent if rfilter == "tent" else filters.splat_box
-    base_key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+    base_key = _as_key(seed)
 
     def body(film: Film, i: jnp.ndarray) -> tuple[Film, None]:
         key = jax.random.fold_in(base_key, i)
@@ -139,7 +152,7 @@ def render_batch(
         assert (c.height, c.width) == (h, w), "batch sensor needs equal films"
     n = len(cameras)
     splat = filters.splat_tent if rfilter == "tent" else filters.splat_box
-    base_key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+    base_key = _as_key(seed)
 
     # Stack per-camera constants; ray-gen vectorizes over the camera axis.
     rot = jnp.asarray(

@@ -94,6 +94,23 @@ def _mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(pdf_a > 0.0, w, 0.0)
 
 
+def _score_ratio(x: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """``x / stop_grad(x)`` — numerically 1, but carries the score gradient
+    ``grad(x)/x``.
+
+    This is the JAX-native form of the reference's detached-ratio PRB
+    estimators (``dr.replace_grad(1.0, tr) * detach(L/tr)`` at prb:342-344
+    and the 'pdf term that cancels out in the weight' at prb:496-497): the
+    primal free-flight estimator cancels transmittance and sampling pdf
+    analytically, so their parameter derivatives must be re-attached
+    explicitly or AD would silently return zero transmittance gradients.
+    """
+    safe = jnp.where(active, x, 1.0)
+    return jnp.where(
+        active, safe / jnp.maximum(jax.lax.stop_gradient(safe), 1e-30), 1.0
+    )
+
+
 def _safe_rcp(x: jnp.ndarray) -> jnp.ndarray:
     """common.py:337-338."""
     return jnp.where(x != 0.0, 1.0 / jnp.where(x == 0.0, 1.0, x), 0.0)
@@ -119,15 +136,22 @@ def _gather_intervals(
     centers = padded.centers.reshape(n_chunks, c, 3)
     scales = padded.scales.reshape(n_chunks, c, 3)
     quats = padded.quats.reshape(n_chunks, c, 4)
+    real = jnp.arange(n).reshape(n_chunks, c) < prims.num_prims
 
     r = o.shape[0]
     inf = jnp.inf
 
     def body(carry, inputs):
         best_t, best_exit, best_id = carry
-        chunk_idx, ctr, scl, qt = inputs
+        chunk_idx, ctr, scl, qt, is_real = inputs
         coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, t_near, t_far = quadric.intersect_extent(coeffs, padded.extent)
+        valid = valid & is_real[None, :]
+        # Segment partitions are detached (PRB convention: sampling geometry
+        # carries no parameter derivatives; the partition-point gradients
+        # telescope away anyway).
+        t_near = jax.lax.stop_gradient(t_near)
+        t_far = jax.lax.stop_gradient(t_far)
         entry = jnp.maximum(t_near, t_min[:, None])
         valid = valid & (t_far > t_min[:, None])
         entry = jnp.where(valid, entry, inf)
@@ -151,7 +175,7 @@ def _gather_intervals(
         jnp.zeros((r, k), jnp.int32),
     )
     (entry, exit_t, ids), _ = jax.lax.scan(
-        body, init, (jnp.arange(n_chunks), centers, scales, quats)
+        body, init, (jnp.arange(n_chunks), centers, scales, quats, real)
     )
     count = jnp.sum(jnp.isfinite(entry), axis=-1)
     return entry, exit_t, ids, count
@@ -173,8 +197,10 @@ def _free_flight_window(
 ):
     """Walk the sorted boundary segments of one interval window.
 
-    Returns (trans_out, found, t_sampled). Mirrors sample_segment
-    (prb:513-557) + the bisection solver (prb:559-654).
+    Returns (trans_out, found, t_sampled, trans_at_sample). Mirrors
+    sample_segment (prb:513-557) + the bisection solver (prb:559-654).
+    ``trans_at_sample`` is the *differentiable* transmittance T(0 -> t_s)
+    needed for the score-ratio gradient estimator.
     """
     k = entry.shape[1]
     events = jnp.sort(jnp.concatenate([entry, exit_t], axis=-1), axis=-1)
@@ -210,7 +236,7 @@ def _free_flight_window(
         return jnp.where(act, ts, 0.0)
 
     def step(carry, s):
-        trans_c, found, t_samp = carry
+        trans_c, found, t_samp, trans_samp = carry
         t0 = events[:, s]
         t1 = events[:, s + 1]
         valid = (
@@ -222,21 +248,39 @@ def _free_flight_window(
         )
         tau_s = seg_tau(t0, t1, valid)
         seg_tr = jnp.exp(-tau_s)
-        success = valid & (trans_c * seg_tr < xi)  # prb:540-543
-        chi = -jnp.log(jnp.maximum(xi / jnp.maximum(trans_c, 1e-30), 1e-30))
+        detached_tr = jax.lax.stop_gradient(trans_c * seg_tr)
+        success = valid & (detached_tr < xi)  # prb:540-543
+        chi = -jnp.log(
+            jnp.maximum(
+                xi / jnp.maximum(jax.lax.stop_gradient(trans_c), 1e-30), 1e-30
+            )
+        )
         mid = 0.5 * (t0 + t1)
         cover = (entry <= mid[:, None]) & (exit_t >= mid[:, None])
-        ts = solve_in_segment(t0, t1, chi, cover, success)
+        ts = jax.lax.stop_gradient(solve_in_segment(t0, t1, chi, cover, success))
+        # Differentiable partial transmittance T(t0 -> t_s) for the score.
+        dens_part = kern.density_integral(
+            coeffs, s_prod, None, 0.0, t0[:, None], ts[:, None], cover
+        )
+        tau_part = jnp.sum(dens_part * sigma_t, axis=-1)
+        trans_samp = jnp.where(
+            success, trans_c * jnp.exp(-tau_part), trans_samp
+        )
         t_samp = jnp.where(success, ts, t_samp)
         found = found | success
         trans_c = jnp.where(valid & ~success, trans_c * seg_tr, trans_c)
-        return (trans_c, found, t_samp), None
+        return (trans_c, found, t_samp, trans_samp), None
 
-    init = (trans, jnp.zeros_like(xi, bool), jnp.full_like(xi, jnp.inf))
-    (trans_out, found, t_samp), _ = jax.lax.scan(
+    init = (
+        trans,
+        jnp.zeros_like(xi, bool),
+        jnp.full_like(xi, jnp.inf),
+        jnp.ones_like(xi),
+    )
+    (trans_out, found, t_samp, trans_samp), _ = jax.lax.scan(
         step, init, jnp.arange(2 * k - 1)
     )
-    return trans_out, found, t_samp
+    return trans_out, found, t_samp, trans_samp
 
 
 def free_flight(
@@ -250,9 +294,13 @@ def free_flight(
     """Sample a medium interaction along each ray (exact inverse-CDF over the
     piecewise multi-primitive density).
 
-    Returns (found [R], dead [R], t_samp [R], albedo [R, 3]).
+    Returns (found [R], dead [R], t_samp [R], albedo [R, 3],
+    score_found [R], score_escape [R]).
+
     ``dead`` marks rays that exhausted the window budget before resolving
     (the reference kills such paths via max_depth_primitive, prb:456-459).
+    The two score factors are numerically 1 but carry the gradients of the
+    sampling density / survival probability (see :func:`_score_ratio`).
     """
     primitives.require_attrs(["sigma_t", "albedo"])
     kern = cfg.kernel
@@ -265,6 +313,7 @@ def free_flight(
     resolved = jnp.zeros((r,), bool)  # found or confirmed escape
     t_samp = jnp.full((r,), jnp.inf, o.dtype)
     albedo = jnp.zeros((r, 3), o.dtype)
+    density_at_sample = jnp.ones((r,), o.dtype)  # differentiable pdf factor
 
     sig_all = primitives.attrs["sigma_t"][:, 0]
     alb_all = primitives.attrs["albedo"]
@@ -287,13 +336,15 @@ def free_flight(
         full = count >= k
         t_limit = jnp.where(full, entry[:, -1], jnp.inf)
 
-        trans_new, found_w, ts_w = _free_flight_window(
+        trans_new, found_w, ts_w, trans_samp = _free_flight_window(
             kern, entry, exit_t, coeffs, sigma_t, s_prod, t_limit,
             trans, xi, win_active,
             cfg.solver_max_iterations, cfg.solver_type,
         )
 
-        # Albedo at newly found interactions (prb:434-511, primal estimator).
+        # Albedo at newly found interactions (prb:434-511, primal estimator;
+        # the reference's 3-term manual adjoint is exact AD here plus the
+        # score factor below).
         new_found = win_active & found_w
         q_at = (coeffs.a * ts_w[:, None] + 2.0 * coeffs.b) * ts_w[:, None] + coeffs.c
         cover = (entry <= ts_w[:, None]) & (exit_t >= ts_w[:, None])
@@ -305,12 +356,20 @@ def free_flight(
         trans = jnp.where(win_active, trans_new, trans)
         t_samp = jnp.where(new_found, ts_w, t_samp)
         albedo = jnp.where(new_found[:, None], alb_w, albedo)
+        # Sampling density at the interaction: sum_j sigma_t_j pdf_j(t_s)
+        # times T(0 -> t_s) — both differentiable.
+        density_at_sample = jnp.where(
+            new_found, accum_pdf * trans_samp, density_at_sample
+        )
         found = found | new_found
         resolved = resolved | found | (win_active & ~full)
         t_min = jnp.where(win_active & ~resolved, t_limit, t_min)
 
     dead = active & ~resolved  # window budget exhausted
-    return found, dead, t_samp, albedo
+    escaped = active & resolved & ~found
+    score_found = _score_ratio(density_at_sample, found)
+    score_escape = _score_ratio(trans, escaped)
+    return found, dead, t_samp, albedo, score_found, score_escape
 
 
 def transmittance(
@@ -332,13 +391,14 @@ def transmittance(
     scales = prims.scales.reshape(n_chunks, c, 3)
     quats = prims.quats.reshape(n_chunks, c, 4)
     sigma_t = prims.attrs["sigma_t"].reshape(n_chunks, c)
+    real = jnp.arange(n).reshape(n_chunks, c) < primitives.num_prims
 
     @jax.checkpoint
     def chunk_tau(chunk):
-        ctr, scl, qt, sig = chunk
+        ctr, scl, qt, sig, is_real = chunk
         coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, _, t_far = quadric.intersect_extent(coeffs, prims.extent)
-        valid = valid & (t_far > 0.0)
+        valid = valid & (t_far > 0.0) & is_real[None, :]
         s_prod = (scl[:, 0] * scl[:, 1] * scl[:, 2])[None, :]
         t0 = jnp.zeros((o.shape[0], 1), o.dtype)
         t1 = jnp.full((o.shape[0], 1), t_max, o.dtype)
@@ -353,7 +413,7 @@ def transmittance(
     tau, _ = jax.lax.scan(
         body,
         jnp.zeros((o.shape[0],), o.dtype),
-        (centers, scales, quats, sigma_t),
+        (centers, scales, quats, sigma_t, real),
     )
     return jnp.exp(-tau)
 
@@ -438,7 +498,7 @@ def radiance(
         k_ff, k_nee, k_phase, k_rr = jax.random.split(kb, 4)
 
         xi = jax.random.uniform(k_ff, (r,), minval=1e-7, maxval=1.0)
-        found, dead, t_samp, albedo = free_flight(
+        found, dead, t_samp, albedo, score_found, score_escape = free_flight(
             primitives, o_c, d_c, xi, cfg, active
         )
         escaped = active & ~found & ~dead
@@ -458,13 +518,18 @@ def radiance(
             vis = escaped & ~((i == 0) & cfg.hide_emitters)
             lr_dir = (
                 beta
+                * score_escape[:, None]  # survival-probability score grads
                 * _mis_weight(prev_pdf, emitter_pdf)[:, None]
                 * emitter.eval(d_c)
             )
             l_acc = l_acc + jnp.where(vis[:, None], lr_dir, 0.0)
 
-        # --- collision albedo (prb:158-159) ---
-        beta = jnp.where(active_medium[:, None], beta * albedo, beta)
+        # --- collision albedo (prb:158-159) + sampling-density score ---
+        beta = jnp.where(
+            active_medium[:, None],
+            beta * albedo * score_found[:, None],
+            beta,
+        )
         p_int = o_c + d_c * jnp.where(found, t_samp, 0.0)[:, None]
 
         # --- NEE (prb:195-235) ---

@@ -68,13 +68,29 @@ def gather_hits(
     k: int,
     chunk_size: int,
     t_min: float = 0.0,
+    ray_tile: int = 16384,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-ray k nearest entered bounding ellipsoids, sorted by entry t.
 
     Streaming top-K over primitive chunks; the TPU replacement for the
     reference's per-bounce ``scene.ray_intersect`` BVH marches. Returns
     (t [R, k] ascending with +inf padding, ids [R, k]).
+
+    The wavefront is additionally tiled over rays (``ray_tile``) so the
+    [rays, chunk] coefficient buffers stay HBM-resident (a 512k-ray x 4k-prim
+    tile would otherwise need 8.6 GB per coefficient array).
     """
+    r = o.shape[0]
+    if r > ray_tile and r % ray_tile == 0:
+        ot = o.reshape(-1, ray_tile, 3)
+        dt = d.reshape(-1, ray_tile, 3)
+        ts, ids = jax.lax.map(
+            lambda od: gather_hits(
+                primitives, od[0], od[1], k, chunk_size, t_min, ray_tile
+            ),
+            (ot, dt),
+        )
+        return ts.reshape(r, k), ids.reshape(r, k)
     prims = pad_primitives(primitives, chunk_size)
     n = prims.num_prims
     c = min(chunk_size, n)
@@ -83,16 +99,17 @@ def gather_hits(
     centers = prims.centers.reshape(n_chunks, c, 3)
     scales = prims.scales.reshape(n_chunks, c, 3)
     quats = prims.quats.reshape(n_chunks, c, 4)
+    real = jnp.arange(n).reshape(n_chunks, c) < primitives.num_prims
 
     r = o.shape[0]
     inf = jnp.inf
 
     def body(carry, inputs):
         best_t, best_id = carry
-        chunk_idx, ctr, scl, qt = inputs
+        chunk_idx, ctr, scl, qt, is_real = inputs
         coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, t_near, _ = quadric.intersect_extent(coeffs, prims.extent)
-        valid = valid & (t_near > t_min)
+        valid = valid & (t_near > t_min) & is_real[None, :]
         t_near = jnp.where(valid, t_near, inf)
         # Select the k nearest within the chunk, then merge with the running
         # buffer (two-stage keeps the top_k input at [R, c] then [R, 2k]).
@@ -112,7 +129,7 @@ def gather_hits(
     (t_sorted_desc, ids), _ = jax.lax.scan(
         body,
         init,
-        (jnp.arange(n_chunks), centers, scales, quats),
+        (jnp.arange(n_chunks), centers, scales, quats, real),
     )
     # top_k(-t) leaves ascending-t order already (largest -t first).
     return t_sorted_desc, ids

@@ -76,14 +76,17 @@ def radiance(
     scales = prims.scales.reshape(n_chunks, c, 3)
     quats = prims.quats.reshape(n_chunks, c, 4)
     sigma_t = prims.attrs["sigma_t"].reshape(n_chunks, c)
+    real = (
+        jnp.arange(n).reshape(n_chunks, c) < primitives.num_prims
+    )  # mask out padding primitives
 
     @jax.checkpoint
     def chunk_tau(chunk):
-        ctr, scl, qt, sig = chunk
+        ctr, scl, qt, sig, is_real = chunk
         coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, t_near, _ = quadric.intersect_extent(coeffs, prims.extent)
         # BVH/backface-culling semantics: entry point must be in front.
-        valid = valid & (t_near > 0.0)
+        valid = valid & (t_near > 0.0) & is_real[None, :]
         s_prod = (scl[:, 0] * scl[:, 1] * scl[:, 2])[None, :]
         dens = kern.density_integral(
             coeffs, s_prod, scl[None, :, :], prims.extent, None, None, valid
@@ -99,7 +102,9 @@ def radiance(
 
     r = o.shape[0]
     init = (jnp.zeros((r,), o.dtype), jnp.zeros((r,), jnp.int32))
-    (tau, count), _ = jax.lax.scan(body, init, (centers, scales, quats, sigma_t))
+    (tau, count), _ = jax.lax.scan(
+        body, init, (centers, scales, quats, sigma_t, real)
+    )
 
     beta = jnp.exp(-tau)
     env = (
