@@ -1,12 +1,13 @@
-"""Headline benchmark: volprim_rf Mrays/sec on a synthetic 3DGS-scale scene.
+"""Headline benchmark: tiled volprim_rf Mrays/sec on a 3DGS-like scene.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference repo publishes no numbers (BASELINE.md: harness only), and the
-truck dataset blobs are not in the snapshot, so the workload is a synthetic
-3DGS-style scene (anisotropic rotated Gaussians, degree-1 SH) at the
-render_3dg_asset.py defaults (spp=2, max_depth=128). vs_baseline is reported
-against the north-star proxy of 100 Mrays/sec/chip (a mid-range published
+Workload: 262,144 anisotropic rotated Gaussians distributed over surfaces
+(the density profile of real 3DGS reconstructions like the truck asset —
+the actual dataset blobs are not in the reference snapshot), 512x512 film,
+spp=2, max_depth=128 (render_3dg_asset.py defaults). The reference repo
+publishes no numbers (BASELINE.md: harness only), so vs_baseline is
+reported against a 100 Mrays/sec/chip proxy (a mid-range published
 3DGRT-class GPU figure) until a measured Dr.Jit-CUDA baseline exists.
 """
 
@@ -17,53 +18,73 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def make_scene(n_prims: int):
     import jax.numpy as jnp
 
     import volprim_tpu as vp
-    from volprim_tpu.models import rf
-
-    n_prims = 65536
-    width = height = 512
-    spp = 2
 
     rng = np.random.default_rng(0)
-    f_dc = rng.normal(size=(n_prims, 3)).astype(np.float32) * 0.3
+    # surface shell + ground-plane mix, like an outdoor 3DGS capture
+    n_shell = (3 * n_prims) // 4
+    p = rng.normal(size=(n_shell, 3))
+    p /= np.linalg.norm(p, axis=-1, keepdims=True)
+    shell = p * rng.uniform(0.85, 1.15, size=(n_shell, 1))
+    ground = np.stack(
+        [
+            rng.uniform(-3, 3, size=n_prims - n_shell),
+            np.full(n_prims - n_shell, -1.0) + rng.normal(size=n_prims - n_shell) * 0.02,
+            rng.uniform(-3, 3, size=n_prims - n_shell),
+        ],
+        axis=-1,
+    )
+    centers = np.concatenate([shell, ground]).astype(np.float32)
     quats = rng.normal(size=(n_prims, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
-    scene = vp.scene.EllipsoidScene(
-        centers=jnp.asarray(rng.normal(size=(n_prims, 3)).astype(np.float32)),
-        scales=jnp.asarray(
-            rng.uniform(0.005, 0.05, size=(n_prims, 3)).astype(np.float32)
-        ),
+    scales = rng.uniform(0.004, 0.02, size=(n_prims, 3)).astype(np.float32)
+    f_dc = rng.normal(size=(n_prims, 3)).astype(np.float32) * 0.3
+    f_rest = rng.normal(size=(n_prims, 9)).astype(np.float32) * 0.1
+    return vp.scene.EllipsoidScene(
+        centers=jnp.asarray(centers),
+        scales=jnp.asarray(scales),
         quats=jnp.asarray(quats),
         attrs={
             "opacities": jnp.asarray(
                 rng.uniform(0.2, 0.95, size=(n_prims, 1)).astype(np.float32)
             ),
-            "sh_coeffs": jnp.asarray(
-                np.concatenate(
-                    [f_dc, rng.normal(size=(n_prims, 9)).astype(np.float32) * 0.1],
-                    axis=1,
-                )
-            ),
+            "sh_coeffs": jnp.asarray(np.concatenate([f_dc, f_rest], axis=1)),
         },
     )
+
+
+def main():
+    import jax
+
+    import volprim_tpu as vp
+    from volprim_tpu.models import rf_tiled
+
+    n_prims = 262144
+    width = height = 512
+    spp = 2
+
+    scene = make_scene(n_prims)
     camera = vp.scene.CameraSpecs(
         name="bench", width=width, height=height,
-        to_world=vp.scene.look_at([0, 0, -5], [0, 0, 0], [0, 1, 0]), fov=50.0,
+        to_world=vp.scene.look_at([0, 0.4, -3.2], [0, 0, 0], [0, 1, 0]),
+        fov=50.0,
     )
-    cfg = rf.RFConfig(max_depth=128, rr_depth=128, chunk_size=4096)
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=128, tile_pixels=1024, max_candidates=2048,
+        segment=256, tile_group=8, early_exit=True,
+    )
 
     def run(prims):
-        return vp.models.render(
-            prims, camera, rf.radiance, cfg, None, spp=spp, seed=0
-        )
+        return rf_tiled.render(prims, camera, cfg, None, spp=spp, seed=0)
 
     print(f"compiling on {jax.devices()[0]} ...", file=sys.stderr)
+    t0 = time.perf_counter()
     jfn = jax.jit(run)
     out = jax.block_until_ready(jfn(scene))
+    print(f"compile+first: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     assert np.isfinite(np.asarray(out)).all()
 
     times = []
@@ -75,7 +96,8 @@ def main():
     n_rays = width * height * spp
     mrays = n_rays / exec_s / 1e6
     print(
-        f"exec {exec_s * 1e3:.1f} ms for {n_rays} rays over {n_prims} prims",
+        f"exec {exec_s * 1e3:.1f} ms for {n_rays} rays over {n_prims} prims "
+        f"({mrays:.2f} Mrays/s)",
         file=sys.stderr,
     )
 
@@ -83,7 +105,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "volprim_rf_synthetic_3dgs_65k",
+                "metric": "volprim_rf_tiled_3dgs_262k",
                 "value": round(mrays, 3),
                 "unit": "Mrays/sec/chip",
                 "vs_baseline": round(mrays / baseline_proxy, 4),

@@ -1,0 +1,104 @@
+"""Tiled rf fast path vs the exact-order integrator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volprim_tpu import models, scene
+from volprim_tpu.models import rf, rf_tiled
+
+
+def surface_scene(n=400, seed=0):
+    """3DGS-like shell of small anisotropic primitives on a sphere."""
+    rng = np.random.default_rng(seed)
+    f = scene.EllipsoidsFactory()
+    for _ in range(n):
+        p = rng.normal(size=3)
+        p /= np.linalg.norm(p)
+        f.add(
+            mean=p * rng.uniform(0.9, 1.1),
+            scale=rng.uniform(0.02, 0.08, size=3),
+            euler_deg=rng.uniform(-90, 90, size=3),
+            opacities=rng.uniform(0.3, 0.95),
+            sh_coeffs=rng.normal(size=3).astype(np.float32) * 0.4,
+        )
+    return f.build()
+
+
+def test_tiled_matches_exact():
+    s = surface_scene()
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    cfg_exact = rf.RFConfig(max_depth=64, srgb_primitives=False, chunk_size=512)
+    cfg_tiled = rf_tiled.RFTiledConfig(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=256, segment=64, tile_group=4,
+        use_clusters=False,  # flat culling: 400 prims -> clusters too coarse
+    )
+    # jitter off in both paths so only the ordering approximation differs
+    o, d = scene.generate_rays(cam, jitter=False)
+    img_exact = np.asarray(
+        rf.radiance(s, None, o, d, cfg_exact, jax.random.PRNGKey(0))
+    ).reshape(64, 64, 3)
+    img_tiled = np.asarray(
+        rf_tiled.render(s, cam, cfg_tiled, None, spp=1, seed=0, jitter=False)
+    )
+    assert np.isfinite(img_tiled).all()
+    # shared-depth-order approximation: compare via PSNR (the quality bar
+    # 3DGS rasterizers meet vs ray tracers)
+    mse = np.mean((img_exact - img_tiled) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 35.0, f"tiled vs exact PSNR {psnr:.2f} dB"
+
+
+def test_cluster_path_matches_exact():
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    cfg_exact = rf.RFConfig(max_depth=64, srgb_primitives=False, chunk_size=1024)
+    cfg_tiled = rf_tiled.RFTiledConfig(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=2048, segment=128, tile_group=4,
+        use_clusters=True, cluster_size=32,
+    )
+    o, d = scene.generate_rays(cam, jitter=False)
+    img_exact = np.asarray(
+        rf.radiance(s, None, o, d, cfg_exact, jax.random.PRNGKey(0))
+    ).reshape(64, 64, 3)
+    img_tiled = np.asarray(
+        rf_tiled.render(s, cam, cfg_tiled, None, spp=1, seed=0, jitter=False)
+    )
+    mse = np.mean((img_exact - img_tiled) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 30.0, f"cluster-tiled vs exact PSNR {psnr:.2f} dB"
+
+
+def test_tiled_gradients_flow():
+    s = surface_scene(100)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0, -3.5], [0, 0, 0], [0, 1, 0]), fov=45.0,
+    )
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=32, srgb_primitives=False,
+        tile_pixels=256, max_candidates=128, segment=64, tile_group=2,
+        use_clusters=False,
+    )
+
+    def loss(opac):
+        s2 = scene.EllipsoidScene(
+            s.centers, s.scales, s.quats,
+            {**s.attrs, "opacities": opac}, s.extent,
+        )
+        return jnp.mean(rf_tiled.render(s2, cam, cfg, None, spp=1, seed=0))
+
+    g = jax.grad(loss)(s.attrs["opacities"])
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert (np.abs(g) > 0).sum() > 10  # gradients reach many primitives

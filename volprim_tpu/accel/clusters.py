@@ -1,0 +1,87 @@
+"""Morton-ordered primitive clusters — the two-level culling hierarchy.
+
+The per-tile shortlist selection must not scan all N primitives (a top-k
+over [tiles, N] keys dominates the frame at truck scale). Instead the scene
+is sorted once along a Morton curve and grouped into fixed-size clusters
+with bounding spheres; tiles cull and depth-sort *clusters* (N/64 keys) and
+expand the surviving clusters to contiguous primitive ranges. This is the
+TPU-native stand-in for the reference's C++ BVH (SURVEY.md §2.3): flat,
+fixed-shape, rebuilt in microseconds per optimizer step (the reference
+refits its BVH on every ``params.update``, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..scene.ellipsoids import EllipsoidScene
+
+
+def _spread_bits_10(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so there are two zero bits between each
+    (standard Morton encoding step), int32."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_codes(centers: jnp.ndarray) -> jnp.ndarray:
+    """30-bit Morton codes from quantized positions [N, 3] -> [N] int32."""
+    lo = jnp.min(centers, axis=0)
+    hi = jnp.max(centers, axis=0)
+    q = (centers - lo) / jnp.maximum(hi - lo, 1e-8)
+    q = jnp.clip((q * 1023.0).astype(jnp.int32), 0, 1023)
+    return (
+        _spread_bits_10(q[:, 0])
+        | (_spread_bits_10(q[:, 1]) << 1)
+        | (_spread_bits_10(q[:, 2]) << 2)
+    )
+
+
+class ClusterIndex(NamedTuple):
+    """Morton-sorted scene + cluster bounding spheres."""
+
+    prims: EllipsoidScene  # primitives reordered along the Morton curve
+    perm: jnp.ndarray  # [N] original index of each sorted primitive
+    centers: jnp.ndarray  # [Ncl, 3] cluster bounding-sphere centers
+    radii: jnp.ndarray  # [Ncl]
+    cluster_size: int
+
+
+def build_clusters(prims: EllipsoidScene, cluster_size: int = 64) -> ClusterIndex:
+    """Sort primitives along the Morton curve and bound groups of
+    ``cluster_size``. Requires num_prims to be a multiple of cluster_size
+    (pad first with models.base.pad_primitives)."""
+    n = prims.num_prims
+    assert n % cluster_size == 0, "pad primitives to a cluster multiple first"
+    order = jnp.argsort(morton_codes(prims.centers))
+    sorted_prims = prims.select(order)
+    n_cl = n // cluster_size
+    c = sorted_prims.centers.reshape(n_cl, cluster_size, 3)
+    prim_r = prims.extent * jnp.max(sorted_prims.scales, axis=-1).reshape(
+        n_cl, cluster_size
+    )
+    centers = c.mean(axis=1)
+    radii = jnp.max(
+        jnp.linalg.norm(c - centers[:, None, :], axis=-1) + prim_r, axis=1
+    )
+    return ClusterIndex(sorted_prims, order, centers, radii, cluster_size)
+
+
+def expand_cluster_ids(
+    cluster_ids: jnp.ndarray, cluster_valid: jnp.ndarray, cluster_size: int
+):
+    """[T, K] cluster shortlist -> ([T, K*cs] primitive ids, valid) into the
+    Morton-sorted arrays (clusters are contiguous ranges)."""
+    t, k = cluster_ids.shape
+    offs = jnp.arange(cluster_size, dtype=cluster_ids.dtype)
+    ids = (cluster_ids[..., None] * cluster_size + offs).reshape(t, k * cluster_size)
+    valid = jnp.broadcast_to(
+        cluster_valid[..., None], (t, k, cluster_size)
+    ).reshape(t, k * cluster_size)
+    return ids, valid

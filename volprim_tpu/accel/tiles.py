@@ -1,0 +1,77 @@
+"""Ray-tile cone culling — the TPU-native acceleration structure.
+
+The reference leans on Embree/OptiX BVHs inside Mitsuba for every
+``scene.ray_intersect`` (SURVEY.md §2.3). Pointer-chasing BVH traversal is a
+poor fit for the VPU; instead, the camera-ray integrators exploit *ray
+coherence*: the film is partitioned into pixel tiles, each tile's rays share
+an origin and span a small cone, and primitives are culled per tile with a
+cone/bounding-sphere test. This is the ray-traced analogue of 3DGS tile
+rasterization and needs no tree build (refit per optimizer step is free —
+the reference instead re-runs a C++ BVH refit on every params.update,
+SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def tile_cones(o: jnp.ndarray, d: jnp.ndarray, tile_rays: int):
+    """Bounding cones of consecutive ray tiles sharing one origin.
+
+    Args:
+      o, d: [R, 3] ray origins/directions (origins equal within each tile).
+      tile_rays: rays per tile (R must be divisible).
+
+    Returns (origins [T, 3], axes [T, 3], cos_half [T]).
+    """
+    r = o.shape[0]
+    t = r // tile_rays
+    dt = d.reshape(t, tile_rays, 3)
+    axis = dt.mean(axis=1)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    cos_half = jnp.min(jnp.einsum("tri,ti->tr", dt, axis), axis=1)
+    return o.reshape(t, tile_rays, 3)[:, 0], axis, jnp.clip(cos_half, -1.0, 1.0)
+
+
+def cone_cull_keys(
+    origin: jnp.ndarray,  # [3]
+    axis: jnp.ndarray,  # [3]
+    cos_half: jnp.ndarray,  # []
+    centers: jnp.ndarray,  # [N, 3]
+    radii: jnp.ndarray,  # [N]
+) -> jnp.ndarray:
+    """Depth keys for cone/bounding-sphere culling: view depth for
+    intersecting primitives, +inf otherwise. Conservative (angular-sum
+    test)."""
+    v = centers - origin
+    dist = jnp.linalg.norm(v, axis=-1)
+    safe = jnp.maximum(dist, 1e-8)
+    cos_theta = (v @ axis) / safe
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+    sin_rho = jnp.clip(radii / safe, 0.0, 1.0)
+    rho = jnp.arcsin(sin_rho)
+    half = jnp.arccos(jnp.clip(cos_half, -1.0, 1.0))
+    inside = theta <= half + rho
+    # cull spheres entirely behind the origin
+    depth = v @ axis
+    in_front = depth + radii > 1e-4
+    # a sphere containing the origin always intersects
+    contains = dist <= radii
+    hit = (inside & in_front) | contains
+    return jnp.where(hit, depth, jnp.inf)
+
+
+def shortlist(
+    keys: jnp.ndarray, max_candidates: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Select the max_candidates nearest (by view depth) culled primitives.
+
+    keys: [T, N] from cone_cull_keys. Returns (ids [T, S] depth-ascending,
+    valid [T, S]). Overflow beyond S drops the farthest primitives (callers
+    should size S generously; the rf compositor's beta-kill makes far
+    primitives irrelevant anyway).
+    """
+    neg, ids = jax.lax.top_k(-keys, max_candidates)
+    return ids.astype(jnp.int32), jnp.isfinite(-neg)
