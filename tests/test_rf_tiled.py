@@ -79,6 +79,34 @@ def test_cluster_path_matches_exact():
     assert psnr > 30.0, f"cluster-tiled vs exact PSNR {psnr:.2f} dB"
 
 
+def test_pallas_backend_matches_xla():
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128, tile_group=2,
+        use_clusters=True, cluster_size=32,
+    )
+    img_xla = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(**kw), None, spp=1, seed=0,
+            jitter=False,
+        )
+    )
+    img_pl = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(backend="pallas", **kw), None,
+            spp=1, seed=0, jitter=False,
+        )
+    )
+    assert np.isfinite(img_pl).all()
+    np.testing.assert_allclose(img_pl, img_xla, rtol=1e-3, atol=2e-3)
+
+
 def test_tiled_gradients_flow():
     s = surface_scene(100)
     cam = scene.CameraSpecs(

@@ -4,16 +4,21 @@ Same light transport as :mod:`volprim_tpu.models.rf` (3DGRT peak
 transmittance + SH emission, reference ``volprim_rf.py:63-100,135-146``) but
 architected like a TPU rasterizer instead of a ray marcher:
 
-1. the film is split into pixel tiles; each tile's rays share an origin and
-   span a small cone;
-2. primitives are cone-culled per tile and depth-sorted **once per tile**
-   (the 3DGS tile-rasterization ordering approximation — the reference's
-   BVH march gives exact per-ray order; PSNR impact is validated in
-   tests/test_rf_tiled.py);
-3. each tile composites its shortlist in shared order: quadric coefficients
-   via the feature-matrix GEMMs (MXU), alpha via the VPU, front-to-back
-   accumulation via within-segment cumulative products — no per-ray top-k,
-   no sorting of [rays x prims] buffers.
+1. **per-scene preparation** (:func:`build_state`): primitives are Morton-
+   sorted into bounded clusters and packed into feature tables (quadric
+   feature matrix, SH table, opacities) — the analogue of the reference's
+   C++ BVH build at scene load (SURVEY.md §2.3), re-run after each optimizer
+   step like the reference's ``params.update`` BVH refit;
+2. **per-frame culling**: the film is split into pixel tiles, each tile's
+   rays share an origin and span a small cone; clusters are cone-culled and
+   depth-sorted per tile, then expanded to primitive shortlists whose order
+   is refined to per-primitive view depth (the 3DGS tile-rasterization
+   ordering approximation — the reference's BVH march gives exact per-ray
+   order; PSNR impact is validated in tests/test_rf_tiled.py);
+3. **compositing**: each tile accumulates its shortlist front-to-back —
+   either the fused Pallas kernel (``backend='pallas'``,
+   :mod:`volprim_tpu.pallas_kernels.composite`) or a differentiable XLA
+   pipeline (``backend='xla'``) with identical math.
 
 This is the renderer bench.py measures; the exact-order integrator remains
 available for parity checks and secondary rays.
@@ -44,7 +49,7 @@ class RFTiledConfig:
     tile_pixels: int = 1024  # rays per tile (e.g. 32x32)
     max_candidates: int = 4096  # culled shortlist size per tile
     segment: int = 256  # shortlist chunk per compositing step
-    tile_group: int = 8  # tiles batched per map step
+    tile_group: int = 8  # tiles batched per map step (xla backend)
     beta_kill: float = 0.01  # rf:172-174
     use_clusters: bool = True  # two-level Morton-cluster culling
     cluster_size: int = 64
@@ -52,124 +57,33 @@ class RFTiledConfig:
     # saturated (beta < beta_kill). Uses lax.while_loop, which XLA cannot
     # reverse-differentiate — leave False for training, True for inference.
     early_exit: bool = False
+    # 'xla' (differentiable, any backend) or 'pallas' (fused TPU kernel,
+    # forward-only for now).
+    backend: str = "xla"
 
     @property
     def kernel(self) -> Kernel:
         return Kernel(self.kernel_type, normalized=True, full_range=True)
 
 
-def _composite_tile(
-    o: jnp.ndarray,  # [RT, 3] (shared origin)
-    d: jnp.ndarray,  # [RT, 3]
-    ids: jnp.ndarray,  # [S] depth-sorted candidate ids
-    valid: jnp.ndarray,  # [S]
-    prim_feats: jnp.ndarray,  # [10, N]
-    opac: jnp.ndarray,  # [N]
-    sh_coeffs: jnp.ndarray,  # [N, K, 3]
-    extent: float,
-    cfg: RFTiledConfig,
-) -> jnp.ndarray:
-    kern = cfg.kernel
-    rt = o.shape[0]
-    s = ids.shape[0]
-    c = min(cfg.segment, s)
-    n_seg = s // c
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RFTiledState:
+    """Per-scene render state (rebuild when primitive parameters change)."""
 
-    fa, fb, fc = quadric.ray_features(o, d)  # [RT, 10]
-    n_basis = sh_coeffs.shape[1]
-    basis = sh.eval_basis(d, sh.degree_from_coeffs(n_basis))  # [RT, K]
-
-    hp = jax.lax.Precision.HIGHEST
-    e2 = extent * extent
-
-    def seg_step(carry, si):
-        l_acc, beta, count = carry
-        idx = jax.lax.dynamic_slice(ids, (si * c,), (c,))
-        vld = jax.lax.dynamic_slice(valid, (si * c,), (c,))
-        pf = prim_feats[:, idx]  # [10, C]
-        a = jnp.dot(fa, pf, precision=hp)
-        b = jnp.dot(fb, pf, precision=hp)
-        cc = jnp.dot(fc, pf, precision=hp)
-        q_min = jnp.maximum(cc - b * b / a, 0.0)
-        # hit = bounding ellipsoid entered in front of the origin
-        disc = (e2 - q_min) / a
-        t_near = -b / a - jnp.sqrt(jnp.maximum(disc, 0.0))
-        hit = (disc >= 0.0) & (t_near > 0.0) & vld[None, :]
-
-        density = kern.eval_q(q_min)
-        alpha = jnp.minimum(opac[idx][None, :] * density, 0.9999)
-        alpha = jnp.where(hit, alpha, 0.0)
-
-        # depth cap (rf max_depth): stop counting hits beyond the cap
-        new_count = count[:, None] + jnp.cumsum(hit, axis=-1)
-        if cfg.max_depth > 0:
-            alpha = jnp.where(new_count <= cfg.max_depth, alpha, 0.0)
-
-        trans = 1.0 - alpha
-        cp = jnp.cumprod(trans, axis=-1)
-        excl = jnp.concatenate([jnp.ones((rt, 1), cp.dtype), cp[:, :-1]], axis=-1)
-        weight = beta[:, None] * excl * alpha
-        # beta-kill: once running transmittance drops below the threshold,
-        # later primitives contribute nothing (rf:172-174)
-        weight = jnp.where(beta[:, None] * excl > cfg.beta_kill, weight, 0.0)
-
-        emission = jnp.einsum(
-            "rk,cks->rcs", basis, sh_coeffs[idx], precision=hp
-        )
-        emission = jnp.maximum(emission + 0.5, 0.0)
-        l_acc = l_acc + jnp.einsum("rc,rcs->rs", weight, emission)
-
-        beta = beta * cp[:, -1]
-        count = new_count[:, -1]
-        return (l_acc, beta, count), None
-
-    init = (
-        jnp.zeros((rt, 3), o.dtype),
-        jnp.ones((rt,), o.dtype),
-        jnp.zeros((rt,), jnp.int32),
-    )
-    if cfg.early_exit:
-        def cond(state):
-            si, (_, beta, _) = state
-            return (si < n_seg) & jnp.any(beta > cfg.beta_kill)
-
-        def body(state):
-            si, carry = state
-            carry, _ = seg_step(carry, si)
-            return si + 1, carry
-
-        _, (l_acc, beta, _) = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
-    else:
-        (l_acc, beta, _), _ = jax.lax.scan(seg_step, init, jnp.arange(n_seg))
-    return l_acc, beta
+    prims: EllipsoidScene  # Morton-sorted (or original when not clustered)
+    cull_centers: jnp.ndarray  # [Ncl or N, 3]
+    cull_radii: jnp.ndarray  # [Ncl or N]
+    feats16: jnp.ndarray  # [N, 16] quadric features (10 used)
+    opac: jnp.ndarray  # [N]
+    sh48: jnp.ndarray  # [N, 48] channel-major SH blocks of 16
+    extent: float = dataclasses.field(default=3.0, metadata=dict(static=True))
+    clustered: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    cluster_size: int = dataclasses.field(default=64, metadata=dict(static=True))
 
 
-def render(
-    primitives: EllipsoidScene,
-    camera: CameraSpecs,
-    cfg: RFTiledConfig,
-    emitter=None,
-    spp: int = 1,
-    seed=0,
-    jitter: bool = True,
-) -> jnp.ndarray:
-    """Render one camera with the tiled fast path. Returns [H, W, 3]."""
-    h, w = camera.height, camera.width
-    tp = cfg.tile_pixels
-    # tile shape: as square as possible
-    th = int(tp**0.5)
-    while tp % th or h % th:
-        th -= 1
-    tw = tp // th
-    assert h % th == 0 and w % tw == 0, (
-        f"film {w}x{h} not divisible into {tw}x{th} tiles"
-    )
-    n_ty, n_tx = h // th, w // tw
-    n_tiles = n_ty * n_tx
-    g = cfg.tile_group
-    while n_tiles % g:
-        g -= 1
-
+def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
+    """Morton-sort, cluster and pack the scene for tiled rendering."""
     if cfg.use_clusters:
         from .base import pad_primitives
 
@@ -183,24 +97,169 @@ def render(
         cull_centers = primitives.centers
         cull_radii = primitives.extent * jnp.max(primitives.scales, axis=-1)
 
-    prim_feats = quadric.prim_features(work.centers, work.scales, work.quats)
-    opac = work.attrs["opacities"][:, 0]
-    sh_coeffs = work.sh_coeffs_3d()
+    n = work.num_prims
+    feats16 = (
+        jnp.zeros((n, 16), jnp.float32)
+        .at[:, :10]
+        .set(quadric.prim_features(work.centers, work.scales, work.quats).T)
+    )
+    # neutral quadric for padded slots is installed at gather time
+    sh_coeffs = work.sh_coeffs_3d()  # [N, K, 3]
+    k = sh_coeffs.shape[1]
+    sh48 = jnp.zeros((n, 48), jnp.float32)
+    for ch in range(3):
+        sh48 = sh48.at[:, ch * 16:ch * 16 + k].set(sh_coeffs[:, :, ch])
+    return RFTiledState(
+        prims=work,
+        cull_centers=cull_centers,
+        cull_radii=cull_radii,
+        feats16=feats16,
+        opac=work.attrs["opacities"][:, 0],
+        sh48=sh48,
+        extent=float(primitives.extent),
+        clustered=cfg.use_clusters,
+        cluster_size=cfg.cluster_size,
+    )
+
+
+def _neutral_feature():
+    """Quadric feature row with M = I, c = 0: keeps a > 0 for masked slots."""
+    import numpy as np
+
+    out = np.zeros((16,), np.float32)
+    out[:3] = 1.0
+    return out
+
+
+def _composite_tile_xla(
+    o, d, pf, opac, sh48, valid, basis_k, extent, cfg: RFTiledConfig
+):
+    """Differentiable per-tile compositor (same math as the Pallas kernel).
+
+    pf [S, 16], opac [S], sh48 [S, 48], valid [S]; o, d [RT, 3].
+    """
+    kern = cfg.kernel
+    rt = o.shape[0]
+    s = pf.shape[0]
+    c = min(cfg.segment, s)
+    n_seg = s // c
+
+    fa, fb, fc = quadric.ray_features(o, d)  # [RT, 10]
+    basis = sh.eval_basis(d, sh.degree_from_coeffs(basis_k))  # [RT, K]
+    hp = jax.lax.Precision.HIGHEST
+    e2 = extent * extent
+
+    def seg_step(carry, si):
+        l_acc, beta, count = carry
+        sl = jax.lax.dynamic_slice_in_dim
+        pf_s = sl(pf, si * c, c, 0)  # [C, 16]
+        opac_s = sl(opac, si * c, c, 0)
+        vld = sl(valid, si * c, c, 0)
+        a = jnp.dot(fa, pf_s[:, :10].T, precision=hp)
+        b = jnp.dot(fb, pf_s[:, :10].T, precision=hp)
+        cc = jnp.dot(fc, pf_s[:, :10].T, precision=hp)
+        q_min = jnp.maximum(cc - b * b / a, 0.0)
+        disc = (e2 - q_min) / a
+        t_near = -b / a - jnp.sqrt(jnp.maximum(disc, 0.0))
+        hit = (disc >= 0.0) & (t_near > 0.0) & vld[None, :]
+
+        density = kern.eval_q(q_min)
+        alpha = jnp.minimum(opac_s[None, :] * density, 0.9999)
+        alpha = jnp.where(hit, alpha, 0.0)
+
+        new_count = count[:, None] + jnp.cumsum(
+            (alpha > 0.0).astype(jnp.int32), axis=-1
+        )
+        if cfg.max_depth > 0:
+            alpha = jnp.where(new_count <= cfg.max_depth, alpha, 0.0)
+
+        trans = 1.0 - alpha
+        cp = jnp.cumprod(trans, axis=-1)
+        excl = jnp.concatenate(
+            [jnp.ones((rt, 1), cp.dtype), cp[:, :-1]], axis=-1
+        )
+        weight = beta[:, None] * excl * alpha
+        weight = jnp.where(beta[:, None] * excl > cfg.beta_kill, weight, 0.0)
+
+        emission = []
+        for ch in range(3):
+            sh_ch = sl(sh48, si * c, c, 0)[:, ch * 16:ch * 16 + basis_k]
+            e_ch = jnp.maximum(jnp.dot(basis, sh_ch.T) + 0.5, 0.0)
+            emission.append(jnp.sum(weight * e_ch, axis=-1))
+        l_acc = l_acc + jnp.stack(emission, axis=-1)
+
+        beta = beta * cp[:, -1]
+        count = new_count[:, -1]
+        return (l_acc, beta, count), None
+
+    init = (
+        jnp.zeros((rt, 3), o.dtype),
+        jnp.ones((rt,), o.dtype),
+        jnp.zeros((rt,), jnp.int32),
+    )
+    if cfg.early_exit:
+
+        def cond(state):
+            si, (_, beta, _) = state
+            return (si < n_seg) & jnp.any(beta > cfg.beta_kill)
+
+        def body(state):
+            si, carry = state
+            carry, _ = seg_step(carry, si)
+            return si + 1, carry
+
+        _, (l_acc, beta, _) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init)
+        )
+    else:
+        (l_acc, beta, _), _ = jax.lax.scan(seg_step, init, jnp.arange(n_seg))
+    return l_acc, beta
+
+
+def render_state(
+    state: RFTiledState,
+    camera: CameraSpecs,
+    cfg: RFTiledConfig,
+    emitter=None,
+    spp: int = 1,
+    seed=0,
+    jitter: bool = True,
+) -> jnp.ndarray:
+    """Render one camera from prepared state. Returns [H, W, 3]."""
+    h, w = camera.height, camera.width
+    tp = cfg.tile_pixels
+    th = int(tp**0.5)
+    while tp % th or h % th:
+        th -= 1
+    tw = tp // th
+    assert h % th == 0 and w % tw == 0, (
+        f"film {w}x{h} not divisible into {tw}x{th} tiles"
+    )
+    n_ty, n_tx = h // th, w // tw
+    n_tiles = n_ty * n_tx
+    rt = th * tw
+    g = cfg.tile_group
+    while n_tiles % g:
+        g -= 1
+
+    work = state.prims
     s = min(cfg.max_candidates, work.num_prims)
-    # round the shortlist down to a segment multiple
     s = max(cfg.segment, (s // cfg.segment) * cfg.segment) if s >= cfg.segment else s
+    basis_k = state.sh48.shape[1] and _basis_count(state)
 
     # pixel coordinates in tile order: [T, RT]
     ys = jnp.arange(h).reshape(n_ty, th)
     xs = jnp.arange(w).reshape(n_tx, tw)
     py0 = jnp.broadcast_to(
         ys[:, None, :, None], (n_ty, n_tx, th, tw)
-    ).reshape(n_tiles, th * tw).astype(jnp.float32)
+    ).reshape(n_tiles, rt).astype(jnp.float32)
     px0 = jnp.broadcast_to(
         xs[None, :, None, :], (n_ty, n_tx, th, tw)
-    ).reshape(n_tiles, th * tw).astype(jnp.float32)
+    ).reshape(n_tiles, rt).astype(jnp.float32)
 
-    base_key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+    from .base import _as_key
+
+    base_key = _as_key(seed)
     origin = jnp.asarray(camera.to_world[:3, 3], jnp.float32)
     rot = jnp.asarray(camera.to_world[:3, :3], jnp.float32)
     focal = jnp.float32(camera.focal_length)
@@ -215,83 +274,132 @@ def render(
         dd = dl @ rot.T
         return dd / jnp.linalg.norm(dd, axis=-1, keepdims=True)
 
-    # Cull once per frame with pixel-center cones widened by the jitter
-    # footprint (one pixel): use corner-extended tile dirs.
+    # ---- per-frame culling ------------------------------------------------
     d_centers = dirs_from(px0 + 0.5, py0 + 0.5)  # [T, RT, 3]
     axis = d_centers.mean(axis=1)
     axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
     cos_half = jnp.min(jnp.einsum("tri,ti->tr", d_centers, axis), axis=1)
-    # widen by ~1.5 pixels of angle for jitter + pixel extent
     half = jnp.arccos(jnp.clip(cos_half, -1.0, 1.0)) + 1.5 / focal
     cos_half = jnp.cos(half)
 
     keys = jax.vmap(
         lambda ax, ch: tiling.cone_cull_keys(
-            origin, ax, ch, cull_centers, cull_radii
+            origin, ax, ch, state.cull_centers, state.cull_radii
         )
     )(axis, cos_half)
-    if cfg.use_clusters:
-        k_cl = max(1, s // cfg.cluster_size)
+    if state.clustered:
+        cs = state.cluster_size
+        k_cl = max(1, s // cs)
         cl_ids, cl_valid = tiling.shortlist(keys, k_cl)
-        ids, valid = clusters.expand_cluster_ids(
-            cl_ids, cl_valid, cfg.cluster_size
-        )
+        ids, valid = clusters.expand_cluster_ids(cl_ids, cl_valid, cs)
         s = ids.shape[1]
-        # refine the ordering to per-primitive view depth (the cluster
-        # shortlist is only depth-sorted at cluster granularity): a [T, S]
-        # sort is cheap compared to a [T, N] selection.
+        # refine to per-primitive view depth ([T, S] sort, cheap)
         depth = jnp.einsum("tsi,ti->ts", work.centers[ids] - origin, axis)
         depth = jnp.where(valid, depth, jnp.inf)
         order = jnp.argsort(depth, axis=-1)
         ids = jnp.take_along_axis(ids, order, axis=-1)
         valid = jnp.take_along_axis(valid, order, axis=-1)
     else:
-        ids, valid = tiling.shortlist(keys, s)  # [T, S]
+        ids, valid = tiling.shortlist(keys, s)
+
+    # ---- shortlist gathers (natural [T, S, F] layout) --------------------
+    pf_t = jnp.where(
+        valid[..., None], state.feats16[ids], _neutral_feature()
+    )  # [T, S, 16]
+    opac_t = jnp.where(valid, state.opac[ids], 0.0)  # [T, S]
+    sh_t = state.sh48[ids]  # [T, S, 48]
+
+    # ---- per-sample rendering --------------------------------------------
+    use_pallas = cfg.backend == "pallas"
+    if use_pallas:
+        from ..pallas_kernels import composite as pallas_composite
 
     def render_sample(i):
         if jitter:
             key = jax.random.fold_in(base_key, i)
-            off = jax.random.uniform(key, (n_tiles, th * tw, 2))
+            off = jax.random.uniform(key, (n_tiles, rt, 2))
         else:
-            off = jnp.full((n_tiles, th * tw, 2), 0.5)
+            off = jnp.full((n_tiles, rt, 2), 0.5)
         px = px0 + off[..., 0]
         py = py0 + off[..., 1]
         d = dirs_from(px, py)  # [T, RT, 3]
 
-        def group_fn(args):
-            d_g, ids_g, valid_g = args
-            l, beta = jax.vmap(
-                lambda dg, ig, vg: _composite_tile(
-                    jnp.broadcast_to(origin, dg.shape), dg, ig, vg,
-                    prim_feats, opac, sh_coeffs, primitives.extent, cfg,
-                )
-            )(d_g, ids_g, valid_g)
-            return l, beta
+        if use_pallas:
+            d_flat = d.reshape(-1, 3)
+            o_flat = jnp.broadcast_to(origin, d_flat.shape)
+            fa, fb, fc = quadric.ray_features(o_flat, d_flat)
+            pad = jnp.zeros((n_tiles * rt, 6), jnp.float32)
+            fa = jnp.concatenate([fa, pad], -1).reshape(n_tiles, rt, 16)
+            fb = jnp.concatenate([fb, pad], -1).reshape(n_tiles, rt, 16)
+            fc = jnp.concatenate([fc, pad], -1).reshape(n_tiles, rt, 16)
+            basis = sh.eval_basis(d_flat, sh.degree_from_coeffs(basis_k))
+            basis = jnp.concatenate(
+                [basis, jnp.zeros((n_tiles * rt, 16 - basis_k))], -1
+            ).reshape(n_tiles, rt, 16)
+            l, beta = pallas_composite.composite_tiles(
+                fa, fb, fc, basis, pf_t, opac_t[:, None, :], sh_t,
+                seg=cfg.segment,
+                extent2=state.extent**2,
+                max_depth=cfg.max_depth if cfg.max_depth > 0 else 10**6,
+                beta_kill=cfg.beta_kill,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            def group_fn(args):
+                d_g, pf_g, op_g, sh_g, v_g = args
+                return jax.vmap(
+                    lambda dg, pfg, opg, shg, vg: _composite_tile_xla(
+                        jnp.broadcast_to(origin, dg.shape), dg, pfg, opg,
+                        shg, vg, basis_k, state.extent, cfg,
+                    )
+                )(d_g, pf_g, op_g, sh_g, v_g)
 
-        l, beta = jax.lax.map(
-            group_fn,
-            (
-                d.reshape(-1, g, th * tw, 3),
-                ids.reshape(-1, g, s),
-                valid.reshape(-1, g, s),
-            ),
-        )
-        l = l.reshape(n_tiles, th * tw, 3)
-        beta = beta.reshape(n_tiles, th * tw)
+            l, beta = jax.lax.map(
+                group_fn,
+                (
+                    d.reshape(-1, g, rt, 3),
+                    pf_t.reshape(-1, g, s, 16),
+                    opac_t.reshape(-1, g, s),
+                    sh_t.reshape(-1, g, s, 48),
+                    valid.reshape(-1, g, s),
+                ),
+            )
+            l = l.reshape(n_tiles, rt, 3)
+            beta = beta.reshape(n_tiles, rt)
+
         if emitter is not None:
             l = l + beta[..., None] * emitter.eval(d)
         if cfg.srgb_primitives:
-            # per-sample like the reference (rf:188-190), before averaging
-            l = srgb_to_linear(l)
+            l = srgb_to_linear(l)  # per-sample like the reference (rf:188-190)
         return l
 
     def body(acc, i):
         return acc + render_sample(i), None
 
     acc, _ = jax.lax.scan(
-        body, jnp.zeros((n_tiles, th * tw, 3), jnp.float32), jnp.arange(spp)
+        body, jnp.zeros((n_tiles, rt, 3), jnp.float32), jnp.arange(spp)
     )
     img = acc / spp
-    # un-tile: [n_ty, n_tx, th, tw, 3] -> [H, W, 3]
     img = img.reshape(n_ty, n_tx, th, tw, 3).transpose(0, 2, 1, 3, 4)
     return img.reshape(h, w, 3)
+
+
+def _basis_count(state: RFTiledState) -> int:
+    """Number of live SH basis functions in the packed table."""
+    # sh48 packs K coefficients per channel block; recover K from the prims.
+    return state.prims.sh_coeffs_3d().shape[1]
+
+
+def render(
+    primitives: EllipsoidScene,
+    camera: CameraSpecs,
+    cfg: RFTiledConfig,
+    emitter=None,
+    spp: int = 1,
+    seed=0,
+    jitter: bool = True,
+) -> jnp.ndarray:
+    """Convenience: build the state and render (rebuilds the cluster index
+    every call — use build_state + render_state for repeated frames)."""
+    state = build_state(primitives, cfg)
+    return render_state(state, camera, cfg, emitter, spp, seed, jitter)

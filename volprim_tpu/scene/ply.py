@@ -34,8 +34,18 @@ _PLY_DTYPES = {
 }
 
 
-def read_ply_vertex_table(path: str) -> dict[str, np.ndarray]:
-    """Parse a PLY file's 'vertex' element into {property_name: column}."""
+def read_ply_vertex_table(path: str, use_native: bool = True) -> dict[str, np.ndarray]:
+    """Parse a PLY file's 'vertex' element into {property_name: column}.
+
+    Binary files go through the threaded C++ parser when available
+    (volprim_tpu.native); ascii and fallback paths are pure numpy.
+    """
+    if use_native:
+        from .. import native
+
+        cols = native.parse_ply_columns(path)
+        if cols is not None:
+            return cols
     with open(path, "rb") as f:
         data = f.read()
     end = data.index(b"end_header\n") + len(b"end_header\n")
