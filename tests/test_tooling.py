@@ -1,0 +1,140 @@
+"""Research tooling: SH fitting, TV regularizer, EnergyPMF, dataset gen,
+radiance cache."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volprim_tpu import scene
+from volprim_tpu.ops import sh
+from volprim_tpu.tooling import (
+    dataset,
+    energy_pmf,
+    radiance_cache,
+    regularizer,
+    sh_fit,
+)
+
+
+def test_spherical_quadrature_integrates_constants():
+    d, w = sh_fit.spherical_quadrature(31)
+    # integral of 1 over the sphere = 4 pi
+    np.testing.assert_allclose(float(jnp.sum(w)), 4 * np.pi, rtol=1e-4)
+    # integral of y^2 over the sphere = 4 pi / 3 (smooth integrand)
+    np.testing.assert_allclose(
+        float(jnp.sum(w * d[:, 1] ** 2)), 4 * np.pi / 3, rtol=1e-4
+    )
+
+
+def test_sh_fit_roundtrip():
+    rng = np.random.default_rng(0)
+    coeffs_true = jnp.asarray(rng.normal(size=16).astype(np.float32))
+
+    def fn(d):
+        return sh.eval_basis(d, 3) @ coeffs_true
+
+    fitted = sh_fit.fit_sh(fn, degree=3, res=31)
+    np.testing.assert_allclose(
+        np.asarray(fitted), np.asarray(coeffs_true), atol=2e-3
+    )
+    # reconstruction agrees at random directions
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(sh_fit.eval_sh(fitted, jnp.asarray(d))),
+        np.asarray(fn(jnp.asarray(d))),
+        atol=5e-3,
+    )
+
+
+def test_tv_regularizer():
+    edges = np.array([[0, 1], [1, 2]])
+    reg = regularizer.TVRegularizer(edges)
+    attr = jnp.asarray([[0.0], [1.0], [3.0]])
+    np.testing.assert_allclose(float(reg.compute_loss(attr)), 1.5)
+    # gradient pulls the outlier toward its neighbour
+    g = jax.grad(lambda a: reg.compute_loss(a))(attr)
+    assert float(g[2, 0]) > 0.0 and float(g[0, 0]) < 0.0
+
+
+def test_knn_edges():
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5.0]])
+    e = regularizer.knn_edges(pts, k=1)
+    assert e.shape[1] == 2
+    assert {tuple(r) for r in e} >= {(0, 1)} or {tuple(r) for r in e} >= {(0, 2)}
+
+
+def test_energy_pmf():
+    pmf = energy_pmf.EnergyPMF.from_energies(jnp.asarray([1.0, 3.0, 0.0, 4.0]))
+    np.testing.assert_allclose(np.asarray(pmf.pmf), [0.125, 0.375, 0.0, 0.5])
+    assert pmf.test(jax.random.PRNGKey(0), n=100000)
+    idx = pmf.sample(jax.random.PRNGKey(1), (1000,))
+    assert not bool(jnp.any(idx == 2))  # zero-energy element never sampled
+
+
+def test_icosphere_rig_and_transforms():
+    cams = dataset.icosphere_rig([0, 0, 0], 3.0, width=32, height=32,
+                                 subdivisions=0)
+    assert len(cams) == 12
+    # all cameras look at the origin
+    for cam in cams:
+        fwd = cam.to_world[:3, 2]
+        to_center = -cam.to_world[:3, 3]
+        cos = np.dot(fwd, to_center) / np.linalg.norm(to_center)
+        assert cos > 0.999
+    t = dataset.transforms_dict(cams)
+    assert len(t["frames"]) == 12 and "camera_angle_x" in t
+
+
+def test_dataset_generation(tmp_path):
+    f = scene.EllipsoidsFactory()
+    f.add(mean=[0, 0, 0], scale=0.3, opacities=0.8,
+          sh_coeffs=np.zeros(3, np.float32))
+    prims = f.build()
+    cams = dataset.icosphere_rig([0, 0, 0], 3.0, width=16, height=16,
+                                 subdivisions=0)[:3]
+
+    from volprim_tpu import models
+    from volprim_tpu.models import rf
+
+    def render_fn(cam, i):
+        return models.render(
+            prims, cam, rf.radiance, rf.RFConfig(max_depth=8, chunk_size=8),
+            None, spp=1, seed=i,
+        )
+
+    pts, colors = dataset.sample_point_cloud(prims, 128, jax.random.PRNGKey(0))
+    dataset.generate(str(tmp_path), render_fn, cams[:2], cams[2:3],
+                     point_cloud=(pts, colors))
+    assert os.path.exists(tmp_path / "transforms_train.json")
+    assert os.path.exists(tmp_path / "transforms_test.json")
+    assert os.path.exists(tmp_path / "points3d.npz")
+    with open(tmp_path / "transforms_train.json") as fh:
+        assert len(json.load(fh)["frames"]) == 2
+    assert pts.shape == (128, 3)
+
+
+def test_radiance_cache_query():
+    f = scene.EllipsoidsFactory()
+    f.add(mean=[0, 0, 1.0], scale=0.2, opacities=0.9,
+          sh_coeffs=np.asarray([1.0, 0.5, 0.2], np.float32))
+    prims = f.build()
+    from volprim_tpu.models import rf
+
+    cache = radiance_cache.RadianceCache(
+        prims, rf.RFConfig(max_depth=8, srgb_primitives=False, chunk_size=8)
+    )
+    o = jnp.asarray([[0.0, 0.0, -2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    out = np.asarray(cache.query(o, d))
+    assert out.shape == (1, 3) and out[0, 0] > 0.0
+    wi, li = cache.incident_hemisphere(
+        jnp.asarray([[0.0, 0.0, -1.0]]), jnp.asarray([[0.0, 0.0, 1.0]]),
+        jax.random.PRNGKey(0), 8,
+    )
+    assert wi.shape == (1, 8, 3) and np.isfinite(np.asarray(li)).all()
+    # sampled directions in the upper hemisphere of the normal
+    assert float(jnp.min(wi[..., 2])) > 0.0
