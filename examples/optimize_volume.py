@@ -10,6 +10,13 @@ The snapshot's smoke.vol is stripped (.MISSING_LARGE_BLOBS); without
 --volume_grid a procedural plume stands in.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import os
 from os.path import join

@@ -13,6 +13,13 @@ renders of the *initial* model at higher spp — an ablation mode that
 exercises the full pipeline.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import os
 from os.path import join

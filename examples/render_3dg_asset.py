@@ -10,6 +10,13 @@ Example:
         --cameras cameras.json --spp 2 --max_depth 128
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import os
 

@@ -3,6 +3,13 @@
 TPU-native counterpart of ``/root/reference/examples/render_asset.py``.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import os
 

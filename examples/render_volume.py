@@ -6,6 +6,13 @@ qwantani envmap EXR is stripped from the snapshot (.MISSING_LARGE_BLOBS), so
 ``--envmap`` falls back to a procedural dusk sky.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import os
 

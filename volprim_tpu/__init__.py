@@ -6,6 +6,25 @@ optimizers, utils, integrators — here organised as ops / scene / models /
 optim / parallel / utils.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the big wavefront graphs (prb, tiled rf)
+# take minutes to compile on remote-compile TPU backends; cache them across
+# processes. Opt out with VOLPRIM_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("VOLPRIM_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/volprim_tpu_xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
 from . import ops
 from . import scene
 from . import models
@@ -13,6 +32,8 @@ from . import optim
 from . import parallel
 from . import utils
 from . import accel
+from . import tooling
+from . import native
 
 # Reference-compatible aliases (volprim.cameras, volprim.io, volprim.optimizers,
 # volprim.benchmark map onto the corresponding modules here).

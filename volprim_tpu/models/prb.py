@@ -307,18 +307,11 @@ def free_flight(
     k = cfg.max_overlaps
     r = o.shape[0]
 
-    t_min = jnp.zeros((r,), o.dtype)
-    trans = jnp.ones((r,), o.dtype)
-    found = jnp.zeros((r,), bool)
-    resolved = jnp.zeros((r,), bool)  # found or confirmed escape
-    t_samp = jnp.full((r,), jnp.inf, o.dtype)
-    albedo = jnp.zeros((r, 3), o.dtype)
-    density_at_sample = jnp.ones((r,), o.dtype)  # differentiable pdf factor
-
     sig_all = primitives.attrs["sigma_t"][:, 0]
     alb_all = primitives.attrs["albedo"]
 
-    for _ in range(cfg.max_windows):
+    def window_step(carry, _):
+        t_min, trans, found, resolved, t_samp, albedo, density_at_sample = carry
         win_active = active & ~resolved
         entry, exit_t, ids, count = _gather_intervals(
             primitives, o, d, t_min, k, cfg.chunk_size
@@ -364,6 +357,22 @@ def free_flight(
         found = found | new_found
         resolved = resolved | found | (win_active & ~full)
         t_min = jnp.where(win_active & ~resolved, t_limit, t_min)
+        return (
+            t_min, trans, found, resolved, t_samp, albedo, density_at_sample
+        ), None
+
+    init = (
+        jnp.zeros((r,), o.dtype),  # t_min
+        jnp.ones((r,), o.dtype),  # trans
+        jnp.zeros((r,), bool),  # found
+        jnp.zeros((r,), bool),  # resolved (found or confirmed escape)
+        jnp.full((r,), jnp.inf, o.dtype),  # t_samp
+        jnp.zeros((r, 3), o.dtype),  # albedo
+        jnp.ones((r,), o.dtype),  # density_at_sample (differentiable pdf)
+    )
+    (t_min, trans, found, resolved, t_samp, albedo, density_at_sample), _ = (
+        jax.lax.scan(window_step, init, None, length=cfg.max_windows)
+    )
 
     dead = active & ~resolved  # window budget exhausted
     escaped = active & resolved & ~found
