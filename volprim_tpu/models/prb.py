@@ -444,7 +444,9 @@ def _sample_phase(key, d_in, cfg: PRBConfig):
         else:
             sq = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
             z = (1.0 + g * g - sq * sq) / (2.0 * g)
-        pdf = _hg_pdf(z, g)
+        # z is cos(theta) w.r.t. the *forward* direction; _hg_pdf follows the
+        # Mitsuba convention (cos w.r.t. wi, which points backward).
+        pdf = _hg_pdf(-z, g)
     r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * jnp.pi * u2
     local = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], axis=-1)
