@@ -311,6 +311,13 @@ def free_flight(
     alb_all = primitives.attrs["albedo"]
 
     def window_step(carry, _):
+        # Skip the whole window (gather + segment scan) once every ray is
+        # resolved — the common case after the first window. lax.cond keeps
+        # this a real branch on TPU.
+        pred = jnp.any(active & ~carry[3])
+        return jax.lax.cond(pred, _window_body, lambda c: c, carry), None
+
+    def _window_body(carry):
         t_min, trans, found, resolved, t_samp, albedo, density_at_sample = carry
         win_active = active & ~resolved
         entry, exit_t, ids, count = _gather_intervals(
@@ -359,7 +366,7 @@ def free_flight(
         t_min = jnp.where(win_active & ~resolved, t_limit, t_min)
         return (
             t_min, trans, found, resolved, t_samp, albedo, density_at_sample
-        ), None
+        )
 
     init = (
         jnp.zeros((r,), o.dtype),  # t_min
@@ -504,6 +511,15 @@ def radiance(
 
     @jax.checkpoint
     def bounce(carry, i):
+        # Skip dead bounces entirely (all paths terminated/escaped).
+        return jax.lax.cond(
+            jnp.any(carry[4]),
+            lambda c: _bounce_body(c, i),
+            lambda c: c,
+            carry,
+        ), None
+
+    def _bounce_body(carry, i):
         o_c, d_c, beta, l_acc, active, prev_pdf = carry
         kb = jax.random.fold_in(key, i)
         k_ff, k_nee, k_phase, k_rr = jax.random.split(kb, 4)
@@ -581,7 +597,7 @@ def radiance(
             beta = jnp.where(perform, beta / jnp.maximum(q, 1e-6)[:, None], beta)
         active = active & jnp.any(beta > 0.005, axis=-1)
 
-        return (o_c, d_c, beta, l_acc, active, prev_pdf), None
+        return (o_c, d_c, beta, l_acc, active, prev_pdf)
 
     init = (
         o,
