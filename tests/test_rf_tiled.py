@@ -107,6 +107,49 @@ def test_pallas_backend_matches_xla():
     np.testing.assert_allclose(img_pl, img_xla, rtol=1e-3, atol=2e-3)
 
 
+def test_pallas_gradients_match_xla():
+    """Custom-VJP backward kernel vs XLA autodiff on the same pipeline."""
+    s = surface_scene(800, seed=5)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=48, srgb_primitives=False,
+        tile_pixels=256, max_candidates=256, segment=64, tile_group=2,
+        use_clusters=True, cluster_size=32,
+    )
+    target = jnp.zeros((32, 32, 3))
+
+    def loss(params, backend):
+        s2 = scene.EllipsoidScene(
+            params["centers"], s.scales, s.quats,
+            {**s.attrs, "opacities": params["opacities"],
+             "sh_coeffs": params["sh_coeffs"]},
+            s.extent,
+        )
+        cfg = rf_tiled.RFTiledConfig(backend=backend, **kw)
+        img = rf_tiled.render(s2, cam, cfg, None, spp=1, seed=0, jitter=False)
+        return jnp.mean((img - target) ** 2)
+
+    params = {
+        "centers": s.centers,
+        "opacities": s.attrs["opacities"],
+        "sh_coeffs": s.attrs["sh_coeffs"],
+    }
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_pl = jax.grad(lambda p: loss(p, "pallas"))(params)
+    for k in params:
+        a, b = np.asarray(g_xla[k]), np.asarray(g_pl[k])
+        assert np.isfinite(b).all(), k
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=2e-3,
+            err_msg=f"gradient mismatch for {k}",
+        )
+
+
 def test_tiled_gradients_flow():
     s = surface_scene(100)
     cam = scene.CameraSpecs(

@@ -312,7 +312,7 @@ def render_state(
     # ---- per-sample rendering --------------------------------------------
     use_pallas = cfg.backend == "pallas"
     if use_pallas:
-        from ..pallas_kernels import composite as pallas_composite
+        from ..pallas_kernels import composite_vjp as pallas_composite
 
     def render_sample(i):
         if jitter:
@@ -336,13 +336,13 @@ def render_state(
             basis = jnp.concatenate(
                 [basis, jnp.zeros((n_tiles * rt, 16 - basis_k))], -1
             ).reshape(n_tiles, rt, 16)
-            l, beta = pallas_composite.composite_tiles(
+            l, beta = pallas_composite.composite_tiles_ad(
                 fa, fb, fc, basis, pf_t, opac_t[:, None, :], sh_t,
-                seg=cfg.segment,
-                extent2=state.extent**2,
-                max_depth=cfg.max_depth if cfg.max_depth > 0 else 10**6,
-                beta_kill=cfg.beta_kill,
-                interpret=jax.default_backend() != "tpu",
+                cfg.segment,
+                state.extent**2,
+                cfg.max_depth if cfg.max_depth > 0 else 10**6,
+                cfg.beta_kill,
+                jax.default_backend() != "tpu",
             )
         else:
             def group_fn(args):

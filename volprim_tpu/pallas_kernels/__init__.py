@@ -1,3 +1,4 @@
 """Pallas TPU kernels for the hot compute paths."""
 
 from . import composite
+from . import composite_vjp
