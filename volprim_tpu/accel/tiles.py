@@ -44,16 +44,23 @@ def cone_cull_keys(
 ) -> jnp.ndarray:
     """Depth keys for cone/bounding-sphere culling: view depth for
     intersecting primitives, +inf otherwise. Conservative (angular-sum
-    test)."""
+    test), written without transcendentals:
+
+        theta <= half + rho
+        <=> (half + rho >= pi) OR cos(theta) >= cos(half)cos(rho)
+                                               - sin(half)sin(rho)
+    """
     v = centers - origin
-    dist = jnp.linalg.norm(v, axis=-1)
+    dist2 = jnp.sum(v * v, axis=-1)
+    dist = jnp.sqrt(dist2)
     safe = jnp.maximum(dist, 1e-8)
     cos_theta = (v @ axis) / safe
-    theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
     sin_rho = jnp.clip(radii / safe, 0.0, 1.0)
-    rho = jnp.arcsin(sin_rho)
-    half = jnp.arccos(jnp.clip(cos_half, -1.0, 1.0))
-    inside = theta <= half + rho
+    cos_rho = jnp.sqrt(jnp.maximum(1.0 - sin_rho * sin_rho, 0.0))
+    ch = jnp.clip(cos_half, -1.0, 1.0)
+    sh = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+    wraps = cos_rho <= -ch  # half + rho >= pi: cone covers everything
+    inside = wraps | (cos_theta >= ch * cos_rho - sh * sin_rho)
     # cull spheres entirely behind the origin
     depth = v @ axis
     in_front = depth + radii > 1e-4
