@@ -79,7 +79,11 @@ def test_cluster_path_matches_exact():
     assert psnr > 30.0, f"cluster-tiled vs exact PSNR {psnr:.2f} dB"
 
 
-def test_pallas_backend_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["pallas", "pallas2"])
+def test_pallas_backend_matches_xla(backend):
     s = surface_scene(6400, seed=3)
     cam = scene.CameraSpecs(
         name="c", width=32, height=32,
@@ -99,7 +103,7 @@ def test_pallas_backend_matches_xla():
     )
     img_pl = np.asarray(
         rf_tiled.render(
-            s, cam, rf_tiled.RFTiledConfig(backend="pallas", **kw), None,
+            s, cam, rf_tiled.RFTiledConfig(backend=backend, **kw), None,
             spp=1, seed=0, jitter=False,
         )
     )
@@ -107,7 +111,8 @@ def test_pallas_backend_matches_xla():
     np.testing.assert_allclose(img_pl, img_xla, rtol=1e-3, atol=2e-3)
 
 
-def test_pallas_gradients_match_xla():
+@pytest.mark.parametrize("backend", ["pallas", "pallas2"])
+def test_pallas_gradients_match_xla(backend):
     """Custom-VJP backward kernel vs XLA autodiff on the same pipeline."""
     s = surface_scene(800, seed=5)
     cam = scene.CameraSpecs(
@@ -122,14 +127,14 @@ def test_pallas_gradients_match_xla():
     )
     target = jnp.zeros((32, 32, 3))
 
-    def loss(params, backend):
+    def loss(params, bk):
         s2 = scene.EllipsoidScene(
             params["centers"], s.scales, s.quats,
             {**s.attrs, "opacities": params["opacities"],
              "sh_coeffs": params["sh_coeffs"]},
             s.extent,
         )
-        cfg = rf_tiled.RFTiledConfig(backend=backend, **kw)
+        cfg = rf_tiled.RFTiledConfig(backend=bk, **kw)
         img = rf_tiled.render(s2, cam, cfg, None, spp=1, seed=0, jitter=False)
         return jnp.mean((img - target) ** 2)
 
@@ -139,13 +144,16 @@ def test_pallas_gradients_match_xla():
         "sh_coeffs": s.attrs["sh_coeffs"],
     }
     g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
-    g_pl = jax.grad(lambda p: loss(p, "pallas"))(params)
+    g_pl = jax.grad(lambda p: loss(p, backend))(params)
+    # pallas2 reparameterizes the quadric (camera-relative c0), so f32
+    # rounding at clamp boundaries shifts a handful of elements by ~0.5%.
+    atol = 2e-3 if backend == "pallas" else 8e-3
     for k in params:
         a, b = np.asarray(g_xla[k]), np.asarray(g_pl[k])
         assert np.isfinite(b).all(), k
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(
-            b / scale, a / scale, atol=2e-3,
+            b / scale, a / scale, atol=atol,
             err_msg=f"gradient mismatch for {k}",
         )
 

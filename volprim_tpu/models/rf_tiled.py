@@ -57,8 +57,13 @@ class RFTiledConfig:
     # saturated (beta < beta_kill). Uses lax.while_loop, which XLA cannot
     # reverse-differentiate — leave False for training, True for inference.
     early_exit: bool = False
-    # 'xla' (differentiable, any backend) or 'pallas' (fused TPU kernel,
-    # forward-only for now).
+    # 'xla' (any backend), 'pallas' (fused TPU kernel) or 'pallas2'
+    # (experimental: camera-relative features + in-kernel ray features/SH
+    # basis, ~7% faster). All three are differentiable. Caution: pallas2
+    # precomputes the constant quadric term c0, whose f32 rounding decouples
+    # from the ray-side GEMMs — at extreme scale ratios (primitive scales
+    # ~1e-3 of the scene) the q_min cancellation amplifies this into visible
+    # pixel differences vs xla/pallas (which share identical rounding).
     backend: str = "xla"
 
     @property
@@ -311,8 +316,30 @@ def render_state(
 
     # ---- per-sample rendering --------------------------------------------
     use_pallas = cfg.backend == "pallas"
+    use_pallas2 = cfg.backend == "pallas2"
     if use_pallas:
         from ..pallas_kernels import composite_vjp as pallas_composite
+    if use_pallas2:
+        from ..pallas_kernels import composite2 as pallas2
+
+        cam_feats = pallas2.camera_relative_features_from_prims(
+            state.prims, origin
+        )
+        # neutral camera-relative feature (M = I, c = 0) keeps a > 0
+        neutral2 = jnp.concatenate(
+            [
+                jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32),
+                origin,
+                jnp.zeros((7,), jnp.float32),
+            ]
+        )
+        pf2_t = jnp.where(valid[..., None], cam_feats[ids], neutral2)
+        sh2_t = state.sh48[ids]  # [T, S, 48]
+        opac2_t = jnp.where(valid, state.opac[ids], 0.0)
+        c02_t = jnp.where(
+            valid, cam_feats[:, 9][ids], jnp.sum(origin * origin)
+        )
+        aux2_t = jnp.stack([opac2_t, c02_t], axis=1)  # [T, 2, S]
 
     def render_sample(i):
         if jitter:
@@ -324,7 +351,21 @@ def render_state(
         py = py0 + off[..., 1]
         d = dirs_from(px, py)  # [T, RT, 3]
 
-        if use_pallas:
+        if use_pallas2:
+            d8 = jnp.concatenate(
+                [d, jnp.zeros(d.shape[:-1] + (5,), d.dtype)], axis=-1
+            )
+            l, beta = pallas2.composite_tiles2(
+                d8, pf2_t, aux2_t, sh2_t,
+                cfg.segment,
+                state.extent**2,
+                cfg.max_depth if cfg.max_depth > 0 else 10**6,
+                cfg.beta_kill,
+                sh.degree_from_coeffs(basis_k),
+                basis_k,
+                jax.default_backend() != "tpu",
+            )
+        elif use_pallas:
             d_flat = d.reshape(-1, 3)
             o_flat = jnp.broadcast_to(origin, d_flat.shape)
             fa, fb, fc = quadric.ray_features(o_flat, d_flat)
