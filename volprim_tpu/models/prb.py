@@ -198,88 +198,92 @@ def _free_flight_window(
     """Walk the sorted boundary segments of one interval window.
 
     Returns (trans_out, found, t_sampled, trans_at_sample). Mirrors
-    sample_segment (prb:513-557) + the bisection solver (prb:559-654).
+    sample_segment (prb:513-557) + the bisection solver (prb:559-654),
+    but fully vectorized: all 2K-1 segments' optical depths are evaluated
+    at once ([R, S, K] broadcast), the crossing segment is located with a
+    cumulative sum + argmax, and the bisection runs once per ray on the
+    selected segment — instead of the reference's (and a naive wavefront's)
+    sequential per-segment march.
+
     ``trans_at_sample`` is the *differentiable* transmittance T(0 -> t_s)
     needed for the score-ratio gradient estimator.
     """
     k = entry.shape[1]
+    s = 2 * k - 1
     events = jnp.sort(jnp.concatenate([entry, exit_t], axis=-1), axis=-1)
+    t0s = events[:, :-1]  # [R, S]
+    t1s = events[:, 1:]
+    valid_seg = (
+        jnp.isfinite(t1s) & (t1s > t0s) & (t1s <= t_limit[:, None])
+        & active[:, None]
+    )
 
-    def seg_tau(t0, t1, valid):
-        """tau over [t0, t1] summed across covering primitives; [R]."""
-        mid = 0.5 * (t0 + t1)
-        cover = (entry <= mid[:, None]) & (exit_t >= mid[:, None])
-        dens = kern.density_integral(
-            coeffs, s_prod, None, 0.0, t0[:, None], t1[:, None], cover
+    # tau of every segment at once: [R, S, K] broadcast, reduce K.
+    mids = 0.5 * (t0s + t1s)
+    cover = (entry[:, None, :] <= mids[:, :, None]) & (
+        exit_t[:, None, :] >= mids[:, :, None]
+    )  # [R, S, K]
+    c3 = quadric.QuadricCoeffs(
+        coeffs.a[:, None, :], coeffs.b[:, None, :], coeffs.c[:, None, :]
+    )
+    dens = kern.density_integral(
+        c3, s_prod[:, None, :], None, 0.0,
+        t0s[:, :, None], t1s[:, :, None], cover,
+    )
+    tau_seg = jnp.where(
+        valid_seg, jnp.sum(dens * sigma_t[:, None, :], axis=-1), 0.0
+    )  # [R, S]
+
+    cum_excl = jnp.cumsum(tau_seg, axis=-1) - tau_seg
+    t_start = trans[:, None] * jnp.exp(-cum_excl)  # T at segment start
+    t_end = t_start * jnp.exp(-tau_seg)
+    success_s = valid_seg & (jax.lax.stop_gradient(t_end) < xi[:, None])
+    found = jnp.any(success_s, axis=-1)
+    sel = jnp.argmax(success_s, axis=-1)  # first crossing segment
+
+    # running transmittance after the whole window (for unfound rays)
+    trans_out = jnp.where(
+        active, trans * jnp.exp(-jnp.sum(tau_seg, axis=-1)), trans
+    )
+
+    # ---- solve within the selected segment (prb:559-654) -----------------
+    r_idx = jnp.arange(entry.shape[0])
+    t0 = t0s[r_idx, sel]
+    t1 = t1s[r_idx, sel]
+    cover_sel = cover[r_idx, sel]  # [R, K]
+    trans_c = t_start[r_idx, sel]
+    chi = -jnp.log(
+        jnp.maximum(
+            xi / jnp.maximum(jax.lax.stop_gradient(trans_c), 1e-30), 1e-30
         )
-        return jnp.where(valid, jnp.sum(dens * sigma_t, axis=-1), 0.0)
+    )
 
-    def solve_in_segment(t0, t1, chi, cover, act):
-        """Bisection for tau(t0 -> t_s) = chi within [t0, t1] (prb:559-654)."""
-        if solver_type == "disabled":
-            return 0.5 * (t0 + t1)  # prb:545-548
-
-        def tau_to(ts):
-            dens = kern.density_integral(
-                coeffs, s_prod, None, 0.0, t0[:, None], ts[:, None], cover
+    if solver_type == "disabled":
+        ts = 0.5 * (t0 + t1)  # prb:545-548
+    else:
+        def tau_to(tt):
+            dpart = kern.density_integral(
+                coeffs, s_prod, None, 0.0, t0[:, None], tt[:, None], cover_sel
             )
-            return jnp.sum(dens * sigma_t, axis=-1)
+            return jnp.sum(dpart * sigma_t, axis=-1)
 
-        def body(i, ts):
-            tau = tau_to(ts)
+        def body(i, tt):
+            tau = tau_to(tt)
             step = (t1 - t0) / (2.0 ** (i.astype(t0.dtype) + 2.0))
-            ts = jnp.where(tau > chi, ts - step, ts + step)
-            ts = jnp.clip(ts, t0, t1)
-            return ts
+            tt = jnp.where(tau > chi, tt - step, tt + step)
+            return jnp.clip(tt, t0, t1)
 
         ts = jax.lax.fori_loop(0, solver_iters, body, 0.5 * (t0 + t1))
-        return jnp.where(act, ts, 0.0)
+    ts = jax.lax.stop_gradient(jnp.where(found, ts, 0.0))
 
-    def step(carry, s):
-        trans_c, found, t_samp, trans_samp = carry
-        t0 = events[:, s]
-        t1 = events[:, s + 1]
-        valid = (
-            jnp.isfinite(t1)
-            & (t1 > t0)
-            & (t1 <= t_limit)
-            & ~found
-            & active
-        )
-        tau_s = seg_tau(t0, t1, valid)
-        seg_tr = jnp.exp(-tau_s)
-        detached_tr = jax.lax.stop_gradient(trans_c * seg_tr)
-        success = valid & (detached_tr < xi)  # prb:540-543
-        chi = -jnp.log(
-            jnp.maximum(
-                xi / jnp.maximum(jax.lax.stop_gradient(trans_c), 1e-30), 1e-30
-            )
-        )
-        mid = 0.5 * (t0 + t1)
-        cover = (entry <= mid[:, None]) & (exit_t >= mid[:, None])
-        ts = jax.lax.stop_gradient(solve_in_segment(t0, t1, chi, cover, success))
-        # Differentiable partial transmittance T(t0 -> t_s) for the score.
-        dens_part = kern.density_integral(
-            coeffs, s_prod, None, 0.0, t0[:, None], ts[:, None], cover
-        )
-        tau_part = jnp.sum(dens_part * sigma_t, axis=-1)
-        trans_samp = jnp.where(
-            success, trans_c * jnp.exp(-tau_part), trans_samp
-        )
-        t_samp = jnp.where(success, ts, t_samp)
-        found = found | success
-        trans_c = jnp.where(valid & ~success, trans_c * seg_tr, trans_c)
-        return (trans_c, found, t_samp, trans_samp), None
-
-    init = (
-        trans,
-        jnp.zeros_like(xi, bool),
-        jnp.full_like(xi, jnp.inf),
-        jnp.ones_like(xi),
+    # Differentiable partial transmittance T(0 -> t_s) for the score.
+    dens_part = kern.density_integral(
+        coeffs, s_prod, None, 0.0, t0[:, None], ts[:, None], cover_sel
     )
-    (trans_out, found, t_samp, trans_samp), _ = jax.lax.scan(
-        step, init, jnp.arange(2 * k - 1)
-    )
+    tau_part = jnp.sum(dens_part * sigma_t, axis=-1)
+    trans_samp = jnp.where(found, trans_c * jnp.exp(-tau_part), 1.0)
+    t_samp = jnp.where(found, ts, jnp.inf)
+    trans_out = jnp.where(found, trans_c, trans_out)
     return trans_out, found, t_samp, trans_samp
 
 
