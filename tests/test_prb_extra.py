@@ -54,6 +54,36 @@ def test_window_exhaustion_marks_dead():
     assert bool(dead[0]) and not bool(found[0])
 
 
+def test_cluster_gathering_matches_bruteforce():
+    """Per-ray cluster-culled interval gathering must reproduce the
+    brute-force free-flight results exactly (no truncation case)."""
+    s = chain_scene(24, sigma_t=0.8, albedo=0.5)
+    n = 2048
+    o = jnp.tile(jnp.asarray([[0.05, -0.02, -3.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    xi = jax.random.uniform(jax.random.PRNGKey(2), (n,), minval=1e-7)
+    act = jnp.ones((n,), bool)
+
+    brute = PRBConfig(
+        max_overlaps=8, max_windows=6, chunk_size=32, use_clusters=False
+    )
+    clust = PRBConfig(
+        max_overlaps=8, max_windows=6, cluster_size=8, cluster_candidates=4,
+        use_clusters=True,
+    )
+    f_b, d_b, t_b, a_b, _, _ = free_flight(s, o, d, xi, brute, act)
+    f_c, d_c, t_c, a_c, _, _ = free_flight(s, o, d, xi, clust, act)
+    assert not bool(jnp.any(d_b)) and not bool(jnp.any(d_c))
+    np.testing.assert_array_equal(np.asarray(f_b), np.asarray(f_c))
+    sel = np.asarray(f_b)
+    np.testing.assert_allclose(
+        np.asarray(t_b)[sel], np.asarray(t_c)[sel], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_b)[sel], np.asarray(a_c)[sel], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_hg_phase_sampling_distribution():
     """HG-sampled cos(theta) must match the HG pdf moments."""
     cfg = PRBConfig(phase="hg", phase_g=0.6)

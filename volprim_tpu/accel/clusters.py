@@ -30,10 +30,17 @@ def _spread_bits_10(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def morton_codes(centers: jnp.ndarray) -> jnp.ndarray:
-    """30-bit Morton codes from quantized positions [N, 3] -> [N] int32."""
-    lo = jnp.min(centers, axis=0)
-    hi = jnp.max(centers, axis=0)
+def morton_codes(centers: jnp.ndarray, num_real: int | None = None) -> jnp.ndarray:
+    """30-bit Morton codes from quantized positions [N, 3] -> [N] int32.
+
+    ``num_real``: quantize against the bounding box of the first num_real
+    rows only — inert padding primitives live far outside the scene and
+    would otherwise collapse the quantization range (every real primitive
+    would get the same code). Padding clamps to the max code and sorts last.
+    """
+    ref = centers if num_real is None else centers[:num_real]
+    lo = jnp.min(ref, axis=0)
+    hi = jnp.max(ref, axis=0)
     q = (centers - lo) / jnp.maximum(hi - lo, 1e-8)
     q = jnp.clip((q * 1023.0).astype(jnp.int32), 0, 1023)
     return (
@@ -53,23 +60,37 @@ class ClusterIndex(NamedTuple):
     cluster_size: int
 
 
-def build_clusters(prims: EllipsoidScene, cluster_size: int = 64) -> ClusterIndex:
+def build_clusters(
+    prims: EllipsoidScene,
+    cluster_size: int = 64,
+    num_real: int | None = None,
+) -> ClusterIndex:
     """Sort primitives along the Morton curve and bound groups of
     ``cluster_size``. Requires num_prims to be a multiple of cluster_size
-    (pad first with models.base.pad_primitives)."""
+    (pad first with models.base.pad_primitives); pass the unpadded count as
+    ``num_real`` so padding primitives neither distort the Morton
+    quantization nor inflate the bounds of the (single, trailing) cluster
+    they share with real primitives."""
     n = prims.num_prims
     assert n % cluster_size == 0, "pad primitives to a cluster multiple first"
-    order = jnp.argsort(morton_codes(prims.centers))
+    nr = n if num_real is None else num_real
+    order = jnp.argsort(morton_codes(prims.centers, nr))
     sorted_prims = prims.select(order)
     n_cl = n // cluster_size
+    real = (order < nr).reshape(n_cl, cluster_size)
     c = sorted_prims.centers.reshape(n_cl, cluster_size, 3)
     prim_r = prims.extent * jnp.max(sorted_prims.scales, axis=-1).reshape(
         n_cl, cluster_size
     )
-    centers = c.mean(axis=1)
-    radii = jnp.max(
-        jnp.linalg.norm(c - centers[:, None, :], axis=-1) + prim_r, axis=1
-    )
+    # masked mean/max so padding members don't blow up the bounds; clusters
+    # with no real members get a far tiny bound (never culled in).
+    cnt = jnp.maximum(jnp.sum(real, axis=1), 1)
+    centers = jnp.sum(jnp.where(real[..., None], c, 0.0), axis=1) / cnt[:, None]
+    dist = jnp.linalg.norm(c - centers[:, None, :], axis=-1) + prim_r
+    radii = jnp.max(jnp.where(real, dist, 0.0), axis=1)
+    empty = jnp.sum(real, axis=1) == 0
+    centers = jnp.where(empty[:, None], 1e7, centers)
+    radii = jnp.where(empty, 1e-3, radii)
     return ClusterIndex(sorted_prims, order, centers, radii, cluster_size)
 
 

@@ -70,6 +70,17 @@ class PRBConfig:
     phase_g: float = 0.0  # Henyey-Greenstein g when phase == 'hg'
     bounce_cap: int = 64  # static bound when max_depth == -1
     chunk_size: int = 1024  # shadow-ray transmittance chunking
+    # Per-ray Morton-cluster culling for interval gathering: candidates come
+    # from the nearest intersected clusters instead of scanning every
+    # primitive per window per bounce. Opt-in: exact when
+    # cluster_candidates covers the clusters overlapping each window (the
+    # chain-scene equivalence test), but on dense scenes where a ray
+    # overlaps more clusters than the shortlist, window progress can stall
+    # at tied entry keys and paths die early (observed on smoke.ply with 26
+    # clusters). Size cluster_candidates to the scene before enabling.
+    use_clusters: bool = False
+    cluster_size: int = 32
+    cluster_candidates: int = 8  # clusters shortlisted per ray per window
 
     @property
     def kernel(self) -> Kernel:
@@ -181,6 +192,73 @@ def _gather_intervals(
     return entry, exit_t, ids, count
 
 
+def _gather_intervals_clustered(
+    index,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_min: jnp.ndarray,
+    k: int,
+    k_cl: int,
+):
+    """Interval gathering through the Morton-cluster hierarchy: per-ray
+    line/sphere culling of clusters ([R, N/cs] tests), expansion of the
+    nearest k_cl clusters to a candidate set, exact intervals + top-k on the
+    candidates only — instead of evaluating quadrics against every
+    primitive per window per bounce.
+
+    Returns (entry [R,k] asc, exit [R,k], ids [R,k] into index.prims,
+    count [R], t_limit_cl [R]).
+    """
+    prims = index.prims
+    cs = index.cluster_size
+    r = o.shape[0]
+    inf = jnp.inf
+
+    # component-wise to avoid an [R, Ncl, 3] temporary
+    vx = index.centers[None, :, 0] - o[:, 0:1]
+    vy = index.centers[None, :, 1] - o[:, 1:2]
+    vz = index.centers[None, :, 2] - o[:, 2:3]
+    depth = vx * d[:, 0:1] + vy * d[:, 1:2] + vz * d[:, 2:3]
+    closest2 = vx * vx + vy * vy + vz * vz - depth * depth
+    radii = index.radii[None, :]
+    hit = (closest2 <= radii * radii) & (depth + radii > t_min[:, None])
+    key = jnp.where(hit, jnp.maximum(depth - radii, t_min[:, None]), inf)
+    k_cl = min(k_cl, index.centers.shape[0])
+    neg, cl_sel = jax.lax.top_k(-key, k_cl)
+    cl_valid = jnp.isfinite(-neg)
+    cl_full = jnp.sum(hit, axis=-1) > k_cl  # strictly more than kept
+    t_limit_cl = jnp.where(cl_full, -neg[:, -1], inf)
+
+    cand = (
+        cl_sel[..., None] * cs + jnp.arange(cs, dtype=cl_sel.dtype)
+    ).reshape(r, k_cl * cs)
+    cand_valid = jnp.broadcast_to(
+        cl_valid[..., None], (r, k_cl, cs)
+    ).reshape(r, k_cl * cs)
+    coeffs = quadric.pair_coeffs(
+        o[:, None, :], d[:, None, :],
+        prims.centers[cand], prims.scales[cand], prims.quats[cand],
+    )
+    valid, t_near, t_far = quadric.intersect_extent(coeffs, prims.extent)
+    t_near = jax.lax.stop_gradient(t_near)
+    t_far = jax.lax.stop_gradient(t_far)
+    valid = valid & cand_valid & (t_far > t_min[:, None])
+    entry = jnp.where(valid, jnp.maximum(t_near, t_min[:, None]), inf)
+
+    k_eff = min(k, entry.shape[1])
+    neg_t, sel = jax.lax.top_k(-entry, k_eff)
+    entry_k = -neg_t
+    exit_k = jnp.take_along_axis(jnp.where(valid, t_far, inf), sel, axis=-1)
+    ids_k = jnp.take_along_axis(cand, sel, axis=-1)
+    if k_eff < k:  # pad to the requested interval-buffer width
+        pad = ((0, 0), (0, k - k_eff))
+        entry_k = jnp.pad(entry_k, pad, constant_values=inf)
+        exit_k = jnp.pad(exit_k, pad, constant_values=inf)
+        ids_k = jnp.pad(ids_k, pad)
+    count = jnp.sum(jnp.isfinite(entry_k), axis=-1)
+    return entry_k, exit_k, ids_k, count, t_limit_cl
+
+
 def _free_flight_window(
     kern: Kernel,
     entry: jnp.ndarray,  # [R, K] ascending
@@ -287,6 +365,18 @@ def _free_flight_window(
     return trans_out, found, t_samp, trans_samp
 
 
+def build_ff_index(primitives: EllipsoidScene, cfg: PRBConfig):
+    """Morton-cluster index for free-flight interval gathering (build once
+    per scene/bounce-loop, not per window)."""
+    from ..accel import clusters as cl
+    from .base import pad_primitives
+
+    return cl.build_clusters(
+        pad_primitives(primitives, cfg.cluster_size), cfg.cluster_size,
+        num_real=primitives.num_prims,
+    )
+
+
 def free_flight(
     primitives: EllipsoidScene,
     o: jnp.ndarray,
@@ -294,6 +384,7 @@ def free_flight(
     xi: jnp.ndarray,
     cfg: PRBConfig,
     active: jnp.ndarray,
+    index=None,
 ):
     """Sample a medium interaction along each ray (exact inverse-CDF over the
     piecewise multi-primitive density).
@@ -311,8 +402,12 @@ def free_flight(
     k = cfg.max_overlaps
     r = o.shape[0]
 
-    sig_all = primitives.attrs["sigma_t"][:, 0]
-    alb_all = primitives.attrs["albedo"]
+    if cfg.use_clusters and index is None:
+        index = build_ff_index(primitives, cfg)
+    work = index.prims if cfg.use_clusters else primitives
+
+    sig_all = work.attrs["sigma_t"][:, 0]
+    alb_all = work.attrs["albedo"]
 
     def window_step(carry, _):
         # Skip the whole window (gather + segment scan) once every ray is
@@ -324,21 +419,30 @@ def free_flight(
     def _window_body(carry):
         t_min, trans, found, resolved, t_samp, albedo, density_at_sample = carry
         win_active = active & ~resolved
-        entry, exit_t, ids, count = _gather_intervals(
-            primitives, o, d, t_min, k, cfg.chunk_size
-        )
-        ctr = primitives.centers[ids]
-        scl = primitives.scales[ids]
-        qt = primitives.quats[ids]
+        if cfg.use_clusters:
+            entry, exit_t, ids, count, t_lim_cl = _gather_intervals_clustered(
+                index, o, d, t_min, k, cfg.cluster_candidates
+            )
+        else:
+            entry, exit_t, ids, count = _gather_intervals(
+                primitives, o, d, t_min, k, cfg.chunk_size
+            )
+            t_lim_cl = jnp.full_like(t_min, jnp.inf)
+        ctr = work.centers[ids]
+        scl = work.scales[ids]
+        qt = work.quats[ids]
         coeffs = quadric.pair_coeffs(
             o[:, None, :], d[:, None, :], ctr, scl, qt
         )
         sigma_t = sig_all[ids]
         s_prod = scl[..., 0] * scl[..., 1] * scl[..., 2]
-        # Window end: if the window is full the last entry bounds what we can
-        # resolve; otherwise everything is known.
-        full = count >= k
-        t_limit = jnp.where(full, entry[:, -1], jnp.inf)
+        # Window end: if the interval buffer or the cluster shortlist was
+        # full, the corresponding entry bounds what we can resolve;
+        # otherwise everything is known.
+        full = (count >= k) | jnp.isfinite(t_lim_cl)
+        t_limit = jnp.minimum(
+            jnp.where(count >= k, entry[:, -1], jnp.inf), t_lim_cl
+        )
 
         trans_new, found_w, ts_w, trans_samp = _free_flight_window(
             kern, entry, exit_t, coeffs, sigma_t, s_prod, t_limit,
@@ -512,6 +616,7 @@ def radiance(
     key = key if key is not None else jax.random.PRNGKey(0)
     r = o.shape[0]
     n_steps = cfg.num_bounces
+    ff_index = build_ff_index(primitives, cfg) if cfg.use_clusters else None
 
     @jax.checkpoint
     def bounce(carry, i):
@@ -530,7 +635,7 @@ def radiance(
 
         xi = jax.random.uniform(k_ff, (r,), minval=1e-7, maxval=1.0)
         found, dead, t_samp, albedo, score_found, score_escape = free_flight(
-            primitives, o_c, d_c, xi, cfg, active
+            primitives, o_c, d_c, xi, cfg, active, index=ff_index
         )
         escaped = active & ~found & ~dead
         active_medium = active & found

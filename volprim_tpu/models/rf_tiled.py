@@ -93,7 +93,8 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
         from .base import pad_primitives
 
         index = clusters.build_clusters(
-            pad_primitives(primitives, cfg.cluster_size), cfg.cluster_size
+            pad_primitives(primitives, cfg.cluster_size), cfg.cluster_size,
+            num_real=primitives.num_prims,
         )
         work = index.prims
         cull_centers, cull_radii = index.centers, index.radii
