@@ -31,7 +31,9 @@ namespace {
 struct PlyProperty {
   std::string name;
   size_t size;    // bytes
-  char kind;      // 'f' float, 'd' double, 'i' int, 'u' uint (by size)
+  char kind;      // 'f' f32, 'd' f64, 'b'/'B' i8/u8, 'h'/'H' i16/u16,
+                  // 'i'/'I' i32/u32 (struct-format letters; signedness kept
+                  // so e.g. negative int8 columns convert correctly)
 };
 
 int hardware_threads() {
@@ -88,9 +90,12 @@ PyObject* parse_ply(PyObject*, PyObject* args) {
       prop.name = name;
       if (type == "float" || type == "float32") { prop.size = 4; prop.kind = 'f'; }
       else if (type == "double" || type == "float64") { prop.size = 8; prop.kind = 'd'; }
-      else if (type == "uchar" || type == "uint8" || type == "char" || type == "int8") { prop.size = 1; prop.kind = 'u'; }
-      else if (type == "short" || type == "ushort") { prop.size = 2; prop.kind = 'u'; }
-      else if (type == "int" || type == "uint" || type == "int32" || type == "uint32") { prop.size = 4; prop.kind = 'i'; }
+      else if (type == "char" || type == "int8") { prop.size = 1; prop.kind = 'b'; }
+      else if (type == "uchar" || type == "uint8") { prop.size = 1; prop.kind = 'B'; }
+      else if (type == "short" || type == "int16") { prop.size = 2; prop.kind = 'h'; }
+      else if (type == "ushort" || type == "uint16") { prop.size = 2; prop.kind = 'H'; }
+      else if (type == "int" || type == "int32") { prop.size = 4; prop.kind = 'i'; }
+      else if (type == "uint" || type == "uint32") { prop.size = 4; prop.kind = 'I'; }
       else {
         PyErr_Format(PyExc_ValueError, "unsupported PLY property type %s", type.c_str());
         return nullptr;
@@ -146,12 +151,12 @@ PyObject* parse_ply(PyObject*, PyObject* args) {
           switch (props[j].kind) {
             case 'f': { float x; std::memcpy(&x, src, 4); v = x; break; }
             case 'd': { double x; std::memcpy(&x, src, 8); v = static_cast<float>(x); break; }
+            case 'b': { int8_t x; std::memcpy(&x, src, 1); v = static_cast<float>(x); break; }
+            case 'B': { uint8_t x; std::memcpy(&x, src, 1); v = static_cast<float>(x); break; }
+            case 'h': { int16_t x; std::memcpy(&x, src, 2); v = static_cast<float>(x); break; }
+            case 'H': { uint16_t x; std::memcpy(&x, src, 2); v = static_cast<float>(x); break; }
             case 'i': { int32_t x; std::memcpy(&x, src, 4); v = static_cast<float>(x); break; }
-            default: {
-              if (props[j].size == 1) { uint8_t x; std::memcpy(&x, src, 1); v = x; }
-              else { uint16_t x; std::memcpy(&x, src, 2); v = x; }
-              break;
-            }
+            default: { uint32_t x; std::memcpy(&x, src, 4); v = static_cast<float>(x); break; }
           }
           out[j * n + i] = v;
         }

@@ -45,3 +45,46 @@ def test_native_ply_load_end_to_end(mod):
 
     s = scene.load_ply("/root/reference/resources/smoke.ply")
     assert s.num_prims == 835
+
+
+def test_native_ply_signed_types(mod, tmp_path):
+    """Signed/wide integer PLY columns decode with correct signedness."""
+    import struct
+
+    n = 4
+    path = tmp_path / "ints.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\n"
+        "property char s8\n"
+        "property short s16\n"
+        "property ushort u16\n"
+        "property int s32\n"
+        "property uint u32\n"
+        "end_header\n"
+    )
+    rows = [
+        (0.5, -5, -1000, 60000, -123456, 3_000_000_000),
+        (1.5, 127, 32767, 0, 2**31 - 1, 0),
+        (-2.0, -128, -32768, 65535, -(2**31), 2**32 - 1),
+        (3.0, 0, 7, 8, 9, 10),
+    ]
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        for r in rows:
+            f.write(struct.pack("<fbhHiI", *r))
+    cols_native = ply_io.read_ply_vertex_table(str(path), use_native=True)
+    cols_py = ply_io.read_ply_vertex_table(str(path), use_native=False)
+    for k in cols_py:
+        np.testing.assert_allclose(
+            cols_native[k], cols_py[k].astype(np.float32), rtol=1e-6,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        cols_native["s8"], [-5, 127, -128, 0]
+    )
+    np.testing.assert_allclose(
+        cols_native["u32"],
+        np.asarray([3_000_000_000, 0, 2**32 - 1, 10], np.float32),
+    )

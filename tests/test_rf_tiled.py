@@ -181,3 +181,24 @@ def test_tiled_gradients_flow():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert (np.abs(g) > 0).sum() > 10  # gradients reach many primitives
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_small_scene_segment_padding(backend):
+    """Scenes smaller than cfg.segment must render on every backend (the
+    shortlist is padded to a segment multiple instead of tripping the
+    Pallas kernel's divisibility assert)."""
+    s = surface_scene(100, seed=7)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=32, srgb_primitives=False,
+        tile_pixels=256, max_candidates=4096, segment=256, tile_group=2,
+        use_clusters=True, cluster_size=32, backend=backend,
+    )
+    img = np.asarray(rf_tiled.render(s, cam, cfg, None, spp=1, jitter=False))
+    assert np.isfinite(img).all()
+    assert img.max() > 0

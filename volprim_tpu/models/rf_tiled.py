@@ -57,14 +57,24 @@ class RFTiledConfig:
     # saturated (beta < beta_kill). Uses lax.while_loop, which XLA cannot
     # reverse-differentiate — leave False for training, True for inference.
     early_exit: bool = False
-    # 'xla' (any backend), 'pallas' (fused TPU kernel) or 'pallas2'
+    # 'xla' (any backend), 'pallas' (fused TPU kernel), 'pallas2'
     # (experimental: camera-relative features + in-kernel ray features/SH
-    # basis, ~7% faster). All three are differentiable. Caution: pallas2
+    # basis, ~7% faster) or 'fused' (v3: camera-relative + cancellation-free
+    # closest-approach q + in-kernel early exit + cluster-blocked gather
+    # without the per-primitive depth resort — the inference/bench path;
+    # forward-only). xla/pallas/pallas2 are differentiable. Caution: pallas2
     # precomputes the constant quadric term c0, whose f32 rounding decouples
     # from the ray-side GEMMs — at extreme scale ratios (primitive scales
     # ~1e-3 of the scene) the q_min cancellation amplifies this into visible
-    # pixel differences vs xla/pallas (which share identical rounding).
+    # pixel differences vs xla/pallas (which share identical rounding);
+    # 'fused' eliminates that cancellation instead (composite3.py).
     backend: str = "xla"
+    # Refine the cluster shortlist to exact per-primitive view depth (a
+    # [T, S] sort + re-gather). None = backend default: on for
+    # xla/pallas/pallas2 (parity with round-1 behavior), off for 'fused'
+    # (clusters are compact and already depth-sorted; PSNR impact is
+    # validated in tests/test_rf_tiled.py and the sort dominated the frame).
+    prim_resort: Optional[bool] = None
 
     @property
     def kernel(self) -> Kernel:
@@ -293,20 +303,107 @@ def render_state(
             origin, ax, ch, state.cull_centers, state.cull_radii
         )
     )(axis, cos_half)
+    use_fused = cfg.backend == "fused"
+    resort = cfg.prim_resort if cfg.prim_resort is not None else not use_fused
+    if use_fused:
+        assert state.clustered, "backend='fused' requires use_clusters=True"
+        assert not resort, "backend='fused' consumes cluster-blocked lists"
     if state.clustered:
         cs = state.cluster_size
         k_cl = max(1, s // cs)
         cl_ids, cl_valid = tiling.shortlist(keys, k_cl)
-        ids, valid = clusters.expand_cluster_ids(cl_ids, cl_valid, cs)
-        s = ids.shape[1]
-        # refine to per-primitive view depth ([T, S] sort, cheap)
-        depth = jnp.einsum("tsi,ti->ts", work.centers[ids] - origin, axis)
-        depth = jnp.where(valid, depth, jnp.inf)
-        order = jnp.argsort(depth, axis=-1)
-        ids = jnp.take_along_axis(ids, order, axis=-1)
-        valid = jnp.take_along_axis(valid, order, axis=-1)
+        if resort or not use_fused:
+            ids, valid = clusters.expand_cluster_ids(cl_ids, cl_valid, cs)
+            s = ids.shape[1]
+        if resort:
+            # refine to per-primitive view depth ([T, S] sort)
+            depth = jnp.einsum("tsi,ti->ts", work.centers[ids] - origin, axis)
+            depth = jnp.where(valid, depth, jnp.inf)
+            order = jnp.argsort(depth, axis=-1)
+            ids = jnp.take_along_axis(ids, order, axis=-1)
+            valid = jnp.take_along_axis(valid, order, axis=-1)
     else:
         ids, valid = tiling.shortlist(keys, s)
+
+    # ---- per-sample rendering --------------------------------------------
+    use_pallas = cfg.backend == "pallas"
+    use_pallas2 = cfg.backend == "pallas2"
+
+    if use_fused:
+        from ..pallas_kernels import composite3
+
+        # pad the cluster shortlist so S = K * cs is a segment multiple
+        seg = min(cfg.segment, k_cl * cs)
+        per_seg = max(1, seg // cs)
+        if k_cl % per_seg:
+            pad_k = per_seg - k_cl % per_seg
+            cl_ids = jnp.pad(cl_ids, ((0, 0), (0, pad_k)))
+            cl_valid = jnp.pad(cl_valid, ((0, 0), (0, pad_k)))
+            k_cl += pad_k
+        s = k_cl * cs
+        ncl = work.num_prims // cs
+        # cluster-blocked gathers: contiguous [cs, F] slices instead of
+        # per-row gathers — the rows of invalid clusters become neutral
+        ptab = composite3.pack_fused_features(work, origin)  # [N, 16]
+        pf_t = jnp.take(
+            ptab.reshape(ncl, cs, 16), cl_ids.reshape(-1), axis=0,
+            mode="clip",
+        ).reshape(n_tiles, k_cl, cs, 16)
+        pf_t = jnp.where(
+            cl_valid[..., None, None], pf_t, composite3.neutral_fused_row()
+        ).reshape(n_tiles, s, 16)
+        sh_t = jnp.take(
+            state.sh48.reshape(ncl, cs, 48), cl_ids.reshape(-1), axis=0,
+            mode="clip",
+        ).reshape(n_tiles, k_cl * cs, 48)
+
+        def render_sample_fused(i):
+            if jitter:
+                key = jax.random.fold_in(base_key, i)
+                off = jax.random.uniform(key, (n_tiles, rt, 2))
+            else:
+                off = jnp.full((n_tiles, rt, 2), 0.5)
+            d = dirs_from(px0 + off[..., 0], py0 + off[..., 1])  # [T, RT, 3]
+            d8 = jnp.concatenate(
+                [d, jnp.zeros(d.shape[:-1] + (5,), d.dtype)], axis=-1
+            )
+            l, beta = composite3.composite_tiles3(
+                d8, pf_t, sh_t,
+                seg=seg,
+                extent2=state.extent**2,
+                max_depth=cfg.max_depth if cfg.max_depth > 0 else 10**6,
+                beta_kill=cfg.beta_kill,
+                degree=sh.degree_from_coeffs(basis_k),
+                sh_k=basis_k,
+                early_exit=cfg.early_exit,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if emitter is not None:
+                l = l + beta[..., None] * emitter.eval(d)
+            if cfg.srgb_primitives:
+                l = srgb_to_linear(l)
+            return l
+
+        def body_fused(acc, i):
+            return acc + render_sample_fused(i), None
+
+        acc, _ = jax.lax.scan(
+            body_fused, jnp.zeros((n_tiles, rt, 3), jnp.float32),
+            jnp.arange(spp),
+        )
+        img = acc / spp
+        img = img.reshape(n_ty, n_tx, th, tw, 3).transpose(0, 2, 1, 3, 4)
+        return img.reshape(h, w, 3)
+
+    # The compositors consume the shortlist in fixed-width segments; pad the
+    # shortlist up to a segment multiple so small scenes (s < segment, or
+    # cluster expansion widths that don't divide) work on every backend.
+    seg = min(cfg.segment, s)
+    if s % seg:
+        pad_n = seg - s % seg
+        ids = jnp.pad(ids, ((0, 0), (0, pad_n)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_n)))
+        s = s + pad_n
 
     # ---- shortlist gathers (natural [T, S, F] layout) --------------------
     pf_t = jnp.where(
@@ -314,10 +411,6 @@ def render_state(
     )  # [T, S, 16]
     opac_t = jnp.where(valid, state.opac[ids], 0.0)  # [T, S]
     sh_t = state.sh48[ids]  # [T, S, 48]
-
-    # ---- per-sample rendering --------------------------------------------
-    use_pallas = cfg.backend == "pallas"
-    use_pallas2 = cfg.backend == "pallas2"
     if use_pallas:
         from ..pallas_kernels import composite_vjp as pallas_composite
     if use_pallas2:
@@ -358,7 +451,7 @@ def render_state(
             )
             l, beta = pallas2.composite_tiles2(
                 d8, pf2_t, aux2_t, sh2_t,
-                cfg.segment,
+                seg,
                 state.extent**2,
                 cfg.max_depth if cfg.max_depth > 0 else 10**6,
                 cfg.beta_kill,
@@ -380,7 +473,7 @@ def render_state(
             ).reshape(n_tiles, rt, 16)
             l, beta = pallas_composite.composite_tiles_ad(
                 fa, fb, fc, basis, pf_t, opac_t[:, None, :], sh_t,
-                cfg.segment,
+                seg,
                 state.extent**2,
                 cfg.max_depth if cfg.max_depth > 0 else 10**6,
                 cfg.beta_kill,

@@ -125,15 +125,35 @@ class EnvironmentMap:
         """Importance-sample directions proportional to sin-weighted
         luminance. sample2 [..., 2] -> (directions, radiance, pdf)."""
         h, w = self.lum.shape
-        y = jnp.searchsorted(self.row_cdf, sample2[..., 0])
+        s0, s1 = sample2[..., 0], sample2[..., 1]
+        y = jnp.searchsorted(self.row_cdf, s0)
         y = jnp.clip(y, 0, h - 1)
-        x = jax.vmap(jnp.searchsorted)(
-            self.cond_cdf[y.reshape(-1)], sample2[..., 1].reshape(-1)
-        ).reshape(y.shape)
+        cond = self.cond_cdf[y.reshape(-1)]
+        x = jax.vmap(jnp.searchsorted)(cond, s1.reshape(-1)).reshape(y.shape)
         x = jnp.clip(x, 0, w - 1)
-        # Stratify within the texel using the CDF remainders.
-        u = (x + 0.5) / w
-        v = (y + 0.5) / h
+        # Continuous inversion: re-use the CDF remainders as uniform
+        # intra-texel offsets (Mitsuba's Hierarchical2D does the equivalent
+        # continuous inversion), so directions are not quantised to texel
+        # centers. The pdf is evaluated at the *jittered* v: within a texel
+        # the (u, v) density is constant, so the solid-angle density is
+        # pmf * h * w / (2 pi^2 sin(theta(v))) at the actual sample.
+        row_prev = jnp.where(y > 0, self.row_cdf[jnp.maximum(y - 1, 0)], 0.0)
+        row_pmf = jnp.maximum(self.row_cdf[y] - row_prev, 1e-12)
+        rem_y = jnp.clip((s0 - row_prev) / row_pmf, 0.0, 1.0 - 1e-6)
+        cond_cdf_x = jnp.take_along_axis(
+            cond, x.reshape(-1, 1), axis=1
+        )[:, 0].reshape(y.shape)
+        cond_prev = jnp.where(
+            x > 0,
+            jnp.take_along_axis(
+                cond, jnp.maximum(x - 1, 0).reshape(-1, 1), axis=1
+            )[:, 0].reshape(y.shape),
+            0.0,
+        )
+        cond_pmf = jnp.maximum(cond_cdf_x - cond_prev, 1e-12)
+        rem_x = jnp.clip((s1 - cond_prev) / cond_pmf, 0.0, 1.0 - 1e-6)
+        u = (x + rem_x) / w
+        v = (y + rem_y) / h
         d = _uv_to_dir(u, v)
         pdf = self._pdf_uv(y, x, v)
         return d, self.eval(d), pdf

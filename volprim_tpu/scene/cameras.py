@@ -270,7 +270,15 @@ class KRTCameraSpecsIO:
     """KRT JSON loader (reference: cameras.py:221-262)."""
 
     @staticmethod
-    def load(filename: str) -> List[CameraSpecs]:
+    def load(filename: str, faithful: bool = True) -> List[CameraSpecs]:
+        """Parse a KRT JSON (K stored transposed: principal point in row 2).
+
+        ``faithful=True`` replicates a reference bug: ``cameras.py:245``
+        reads ``K[2, 1], K[2, 1]`` for *both* px and py, so width is derived
+        from the principal point's y coordinate (wrong for non-square
+        sensors). Pass ``faithful=False`` for the corrected
+        ``K[2, 0], K[2, 1]`` reading.
+        """
         with open(filename) as f:
             sensors = json.load(f)["KRT"]
         infos = []
@@ -282,7 +290,10 @@ class KRTCameraSpecsIO:
             k_mat = np.asarray(sensor["K"])
             rt = np.asarray(sensor["T"])
             k1, k2, k3, k4 = list(sensor["distortion"][0])
-            px, py = k_mat[2, 1], k_mat[2, 1]
+            if faithful:
+                px, py = k_mat[2, 1], k_mat[2, 1]  # sic — see docstring
+            else:
+                px, py = k_mat[2, 0], k_mat[2, 1]
             width, height = 2 * px, 2 * py
             infos.append(
                 CameraSpecs(
