@@ -202,3 +202,43 @@ def test_small_scene_segment_padding(backend):
     img = np.asarray(rf_tiled.render(s, cam, cfg, None, spp=1, jitter=False))
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_fused_backend_matches_xla_order():
+    """v3 fused kernel vs the XLA compositor on the identical cluster-order
+    shortlist (prim_resort=False): only the q formulation differs
+    (closest-approach p^T M p vs c - b^2/a), so images must agree to float
+    noise; early_exit must not change the image at all."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128, tile_group=2,
+        use_clusters=True, cluster_size=32,
+    )
+    img_xla = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(prim_resort=False, **kw),
+            None, spp=1, seed=0, jitter=False,
+        )
+    )
+    img_f = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(backend="fused", **kw),
+            None, spp=1, seed=0, jitter=False,
+        )
+    )
+    img_fe = np.asarray(
+        rf_tiled.render(
+            s, cam,
+            rf_tiled.RFTiledConfig(backend="fused", early_exit=True, **kw),
+            None, spp=1, seed=0, jitter=False,
+        )
+    )
+    assert np.isfinite(img_f).all()
+    np.testing.assert_allclose(img_f, img_xla, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(img_fe, img_f, rtol=1e-5, atol=1e-6)
