@@ -74,3 +74,127 @@ def test_sharded_gradient_matches_single():
     g1 = jax.jit(jax.grad(lambda p: loss(p, None)))(s.attrs["sigma_t"])
     g2 = jax.jit(jax.grad(lambda p: loss(p, mesh)))(s.attrs["sigma_t"])
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-7)
+
+
+def surface_scene_big(n=3200, seed=3):
+    from tests.test_rf_tiled import surface_scene
+
+    return surface_scene(n, seed)
+
+
+def test_rf_tiled_sharded_bitmatches_single():
+    """Flagship path: tile axis sharded over the 8-device mesh must produce
+    the *bitwise* identical image (per-tile RNG keys; no collectives in the
+    frame)."""
+    from volprim_tpu.models import rf_tiled
+
+    s = surface_scene_big()
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    mesh = parallel.data_mesh()
+    for backend in ("xla", "fused"):
+        cfg = rf_tiled.RFTiledConfig(
+            max_depth=48, srgb_primitives=False,
+            tile_pixels=256, max_candidates=512, segment=128, tile_group=2,
+            use_clusters=True, cluster_size=32, backend=backend,
+        )
+        state = rf_tiled.build_state(s, cfg)
+        img1 = jax.jit(
+            lambda st: rf_tiled.render_state(st, cam, cfg, None, spp=2, seed=1)
+        )(state)
+        img8 = jax.jit(
+            lambda st: rf_tiled.render_state(
+                st, cam, cfg, None, spp=2, seed=1, mesh=mesh
+            )
+        )(state)
+        np.testing.assert_array_equal(
+            np.asarray(img1), np.asarray(img8), err_msg=backend
+        )
+
+
+def test_rf_tiled_sharded_gradients_match():
+    """Training path (pallas backend is differentiable) under the mesh."""
+    from volprim_tpu.models import rf_tiled
+
+    s = surface_scene_big(800, seed=5)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=32,  # 8 tiles of 16x16 = 1/device
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    mesh = parallel.data_mesh()
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=32, srgb_primitives=False,
+        tile_pixels=256, max_candidates=256, segment=64, tile_group=2,
+        use_clusters=True, cluster_size=32,
+    )
+    target = jnp.zeros((32, 64, 3))
+
+    def loss(opac, mesh_arg):
+        s2 = scene.EllipsoidScene(
+            s.centers, s.scales, s.quats,
+            {**s.attrs, "opacities": opac}, s.extent,
+        )
+        st = rf_tiled.build_state(s2, cfg)
+        img = rf_tiled.render_state(
+            st, cam, cfg, None, spp=1, seed=0, jitter=False, mesh=mesh_arg
+        )
+        return jnp.mean((img - target) ** 2)
+
+    g1 = jax.jit(jax.grad(lambda p: loss(p, None)))(s.attrs["opacities"])
+    g8 = jax.jit(jax.grad(lambda p: loss(p, mesh)))(s.attrs["opacities"])
+    # grad reductions accumulate in a different order under the mesh
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g8), rtol=1e-3, atol=1e-8
+    )
+
+
+def test_prb_sharded_render_and_grad_match():
+    """prb wavefront sharded over rays: render + sigma_t gradients."""
+    from volprim_tpu.models import prb
+
+    s = make_scene()
+    s.attrs["albedo"] = jnp.full((s.num_prims, 3), 0.8)
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    cam = scene.CameraSpecs(
+        name="c", width=16, height=16,  # 256 rays = 32/device
+        to_world=scene.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]), fov=45.0,
+    )
+    cfg = prb.PRBConfig(
+        max_overlaps=8, max_windows=3, bounce_cap=6, chunk_size=32,
+        cluster_size=8,
+    )
+    mesh = parallel.data_mesh()
+
+    img1 = jax.jit(
+        lambda p: models.render(p, cam, prb.radiance, cfg, em, spp=2, seed=3)
+    )(s)
+    img8 = jax.jit(
+        lambda p: models.render(
+            p, cam, prb.radiance, cfg, em, spp=2, seed=3, mesh=mesh
+        )
+    )(s)
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img8), rtol=1e-4, atol=1e-5
+    )
+
+    target = jnp.zeros((16, 16, 3))
+
+    def loss(sig, mesh_arg):
+        s2 = scene.EllipsoidScene(
+            s.centers, s.scales, s.quats,
+            {**s.attrs, "sigma_t": sig}, s.extent,
+        )
+        img = models.render(
+            s2, cam, prb.radiance, cfg, em, spp=1, seed=3, mesh=mesh_arg
+        )
+        return jnp.mean((img - target) ** 2)
+
+    g1 = jax.jit(jax.grad(lambda p: loss(p, None)))(s.attrs["sigma_t"])
+    g8 = jax.jit(jax.grad(lambda p: loss(p, mesh)))(s.attrs["sigma_t"])
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g8), rtol=2e-3, atol=1e-7
+    )

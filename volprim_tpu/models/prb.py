@@ -62,25 +62,31 @@ class PRBConfig:
     hide_emitters: bool = False
     kernel_type: str = "gaussian"
     max_overlaps: int = 32  # interval-window size (prb:59)
-    max_windows: int = 8  # window continuations; max_overlaps * max_windows
-    #                       plays the role of max_depth_primitive=256 (prb:60)
+    max_windows: int = 8  # window continuations over the collected set
     solver_max_iterations: int = 4  # prb:63
     solver_type: str = "bisection"  # 'bisection' | 'disabled' (prb:64-65)
     phase: str = "isotropic"  # prb:51-53
     phase_g: float = 0.0  # Henyey-Greenstein g when phase == 'hg'
     bounce_cap: int = 64  # static bound when max_depth == -1
     chunk_size: int = 1024  # shadow-ray transmittance chunking
-    # Per-ray Morton-cluster culling for interval gathering: candidates come
-    # from the nearest intersected clusters instead of scanning every
-    # primitive per window per bounce. Opt-in: exact when
-    # cluster_candidates covers the clusters overlapping each window (the
-    # chain-scene equivalence test), but on dense scenes where a ray
-    # overlaps more clusters than the shortlist, window progress can stall
-    # at tied entry keys and paths die early (observed on smoke.ply with 26
-    # clusters). Size cluster_candidates to the scene before enabling.
-    use_clusters: bool = False
+    # Per-ray Morton-cluster culling for interval collection: candidates
+    # come from the nearest intersected clusters instead of scanning every
+    # primitive. Default on since round 2: intervals are collected ONCE per
+    # bounce (budget = collect_budget) and windows select from the
+    # precollected, entry-sorted set — which removes both the per-window
+    # full-primitive scans and the round-1 tied-entry-key stall (selection
+    # is by raw-entry rank, and window ends are forced strictly past the
+    # window start; see _window_from_collected).
+    use_clusters: bool = True
     cluster_size: int = 32
-    cluster_candidates: int = 8  # clusters shortlisted per ray per window
+    cluster_candidates: int = 0  # clusters collected per ray per bounce;
+    #                              0 = auto (sized to cover collect_budget)
+    collect_budget: int = 0  # intervals collected per ray per bounce;
+    #                          0 = auto: max(256, max_overlaps*max_windows)
+    #                          — 256 is the reference's max_depth_primitive
+    #                          default (prb:60). Rays needing more die
+    #                          (prb:456-459), exactly like the reference's
+    #                          budget kill.
 
     @property
     def kernel(self) -> Kernel:
@@ -90,6 +96,14 @@ class PRBConfig:
     @property
     def num_bounces(self) -> int:
         return self.max_depth if self.max_depth > 0 else self.bounce_cap
+
+    @property
+    def interval_budget(self) -> int:
+        """Intervals collected per ray per bounce (K'); the reference's
+        max_depth_primitive budget (prb:60, default 256)."""
+        return self.collect_budget or max(
+            256, self.max_overlaps * self.max_windows
+        )
 
     @property
     def use_rr(self) -> bool:
@@ -192,43 +206,73 @@ def _gather_intervals(
     return entry, exit_t, ids, count
 
 
-def _gather_intervals_clustered(
+def _collect_intervals(
+    primitives: EllipsoidScene,
     index,
     o: jnp.ndarray,
     d: jnp.ndarray,
-    t_min: jnp.ndarray,
-    k: int,
-    k_cl: int,
+    cfg: "PRBConfig",
 ):
-    """Interval gathering through the Morton-cluster hierarchy: per-ray
-    line/sphere culling of clusters ([R, N/cs] tests), expansion of the
-    nearest k_cl clusters to a candidate set, exact intervals + top-k on the
-    candidates only — instead of evaluating quadrics against every
-    primitive per window per bounce.
+    """All per-bounce interval collection, ONCE per bounce (round-2 design).
 
-    Returns (entry [R,k] asc, exit [R,k], ids [R,k] into index.prims,
-    count [R], t_limit_cl [R]).
+    Collects the ``kp = cfg.interval_budget`` nearest [entry, exit)
+    extent-ellipsoid intervals per ray from t = 0, either through the
+    Morton-cluster hierarchy (per-ray sphere culling of [R, N/cs] clusters,
+    expansion of the nearest clusters, exact quadrics on the candidates) or
+    by the brute-force streaming top-k. Windows then *select* from this set
+    (:func:`_window_from_collected`) instead of rescanning primitives.
+
+    Returns (entry [R, kp] ascending by raw entry, exit [R, kp], ids
+    [R, kp] into the work scene, t_budget [R]). ``t_budget`` is the
+    distance beyond which the collection is incomplete (the budget overflow
+    bound — finite only when more geometry exists than fits the budget;
+    rays that reach it unresolved die, like the reference's
+    max_depth_primitive cap, prb:456-459).
     """
-    prims = index.prims
-    cs = index.cluster_size
+    kp = cfg.interval_budget
     r = o.shape[0]
     inf = jnp.inf
 
-    # component-wise to avoid an [R, Ncl, 3] temporary
+    if not cfg.use_clusters:
+        zeros = jnp.zeros((r,), o.dtype)
+        entry, exit_t, ids, count = _gather_intervals(
+            primitives, o, d, zeros, kp, cfg.chunk_size
+        )
+        t_budget = jnp.where(count >= kp, entry[:, -1], inf)
+        return entry, exit_t, ids, t_budget
+
+    prims = index.prims
+    cs = index.cluster_size
+    ncl = index.centers.shape[0]
+
+    # ---- cluster culling (component-wise; no [R, Ncl, 3] temporary) ------
     vx = index.centers[None, :, 0] - o[:, 0:1]
     vy = index.centers[None, :, 1] - o[:, 1:2]
     vz = index.centers[None, :, 2] - o[:, 2:3]
     depth = vx * d[:, 0:1] + vy * d[:, 1:2] + vz * d[:, 2:3]
     closest2 = vx * vx + vy * vy + vz * vz - depth * depth
     radii = index.radii[None, :]
-    hit = (closest2 <= radii * radii) & (depth + radii > t_min[:, None])
-    key = jnp.where(hit, jnp.maximum(depth - radii, t_min[:, None]), inf)
-    k_cl = min(k_cl, index.centers.shape[0])
-    neg, cl_sel = jax.lax.top_k(-key, k_cl)
-    cl_valid = jnp.isfinite(-neg)
-    cl_full = jnp.sum(hit, axis=-1) > k_cl  # strictly more than kept
-    t_limit_cl = jnp.where(cl_full, -neg[:, -1], inf)
+    hit = (closest2 <= radii * radii) & (depth + radii > 0.0)
+    ekey = jnp.where(hit, jnp.maximum(depth - radii, 0.0), inf)
 
+    # Auto-sizing: the kp nearest *intervals* are spread over roughly
+    # kp / (cs * hit-fraction) clusters; assume ~1/3 of the primitives in an
+    # intersected cluster actually intersect the ray.
+    k_cl = cfg.cluster_candidates or max(8, -(-3 * kp // cs))
+    k_cl = min(k_cl, ncl)
+    kk = min(k_cl + 1, ncl)  # +1 row learns the exact overflow bound
+    neg, sel_all = jax.lax.top_k(-ekey, kk)
+    keys_sorted = -neg
+    cl_sel = sel_all[:, :k_cl]
+    cl_valid = jnp.isfinite(keys_sorted[:, :k_cl])
+    if kk > k_cl:
+        # entry bound of the nearest culled-out cluster (a lower bound on
+        # its members' entries -> a valid conservative budget)
+        t_budget_cl = keys_sorted[:, k_cl]
+    else:
+        t_budget_cl = jnp.full((r,), inf, o.dtype)
+
+    # ---- exact intervals on the candidate set ----------------------------
     cand = (
         cl_sel[..., None] * cs + jnp.arange(cs, dtype=cl_sel.dtype)
     ).reshape(r, k_cl * cs)
@@ -242,21 +286,71 @@ def _gather_intervals_clustered(
     valid, t_near, t_far = quadric.intersect_extent(coeffs, prims.extent)
     t_near = jax.lax.stop_gradient(t_near)
     t_far = jax.lax.stop_gradient(t_far)
-    valid = valid & cand_valid & (t_far > t_min[:, None])
-    entry = jnp.where(valid, jnp.maximum(t_near, t_min[:, None]), inf)
+    valid = valid & cand_valid & (t_far > 0.0)
+    entry = jnp.where(valid, jnp.maximum(t_near, 0.0), inf)
 
-    k_eff = min(k, entry.shape[1])
-    neg_t, sel = jax.lax.top_k(-entry, k_eff)
+    kp_eff = min(kp, entry.shape[1])
+    neg_t, sel = jax.lax.top_k(-entry, kp_eff)
     entry_k = -neg_t
     exit_k = jnp.take_along_axis(jnp.where(valid, t_far, inf), sel, axis=-1)
     ids_k = jnp.take_along_axis(cand, sel, axis=-1)
-    if k_eff < k:  # pad to the requested interval-buffer width
-        pad = ((0, 0), (0, k - k_eff))
+    if kp_eff < kp:
+        pad = ((0, 0), (0, kp - kp_eff))
         entry_k = jnp.pad(entry_k, pad, constant_values=inf)
         exit_k = jnp.pad(exit_k, pad, constant_values=inf)
         ids_k = jnp.pad(ids_k, pad)
     count = jnp.sum(jnp.isfinite(entry_k), axis=-1)
-    return entry_k, exit_k, ids_k, count, t_limit_cl
+    t_budget = jnp.minimum(
+        jnp.where(count >= kp_eff, entry_k[:, kp_eff - 1], inf), t_budget_cl
+    )
+    return entry_k, exit_k, ids_k, t_budget
+
+
+def _window_from_collected(
+    entry_all: jnp.ndarray,  # [R, K'] ascending by raw entry
+    exit_all: jnp.ndarray,  # [R, K']
+    t_min: jnp.ndarray,  # [R]
+    k: int,
+):
+    """Select one window of K intervals from the precollected set.
+
+    The window set is the first K *open* intervals (exit > t_min) in raw
+    entry order — which equals the (clamped-entry, raw-entry) lexicographic
+    order, so the round-1 tied-entry-key stall cannot occur: selection is by
+    rank, not by clamped key. The window end is the entry of the (K+1)-th
+    open interval; when that interval already overlaps t_min (more than K
+    simultaneous overlaps — beyond the reference's dr.Local overlap-stack
+    capacity too, common.py:428-441), its density is dropped until the
+    earliest kept exit so the walk always advances strictly past t_min.
+
+    Returns (entry [R,K] clamped to t_min, exit [R,K], sel [R,K] positions
+    into the collected arrays, valid_sel [R,K], t_limit [R], has_more [R]).
+    """
+    kp = entry_all.shape[1]
+    inf = jnp.inf
+    open_ = jnp.isfinite(entry_all) & (exit_all > t_min[:, None])
+    pos = jnp.cumsum(open_.astype(jnp.int32), axis=-1)
+    rank = jnp.where(open_, pos, kp + 2)
+    selkey = jnp.where(rank <= k, rank, kp + 2)
+    neg, sel = jax.lax.top_k(-selkey, k)  # ranks 1..k ascending
+    valid_sel = (-neg) <= k
+    entry_w = jnp.where(
+        valid_sel,
+        jnp.maximum(
+            jnp.take_along_axis(entry_all, sel, axis=-1), t_min[:, None]
+        ),
+        inf,
+    )
+    exit_w = jnp.where(
+        valid_sel, jnp.take_along_axis(exit_all, sel, axis=-1), inf
+    )
+    nxt = jnp.min(jnp.where(rank == k + 1, entry_all, inf), axis=-1)
+    has_more = jnp.isfinite(nxt)
+    min_exit = jnp.min(exit_w, axis=-1)  # > t_min whenever anything selected
+    t_limit = jnp.where(
+        has_more, jnp.where(nxt > t_min, nxt, min_exit), inf
+    )
+    return entry_w, exit_w, sel, valid_sel, t_limit, has_more
 
 
 def _free_flight_window(
@@ -409,40 +503,39 @@ def free_flight(
     sig_all = work.attrs["sigma_t"][:, 0]
     alb_all = work.attrs["albedo"]
 
+    # All interval collection happens ONCE per bounce; windows select from
+    # the precollected set below (round-2 redesign; see _collect_intervals).
+    entry_all, exit_all, ids_all, t_budget = _collect_intervals(
+        primitives, index, o, d, cfg
+    )
+
     def window_step(carry, _):
-        # Skip the whole window (gather + segment scan) once every ray is
-        # resolved — the common case after the first window. lax.cond keeps
-        # this a real branch on TPU.
-        pred = jnp.any(active & ~carry[3])
+        # Skip the whole window (selection + segment scan) once every ray is
+        # resolved or budget-dead — the common case after the first window.
+        pred = jnp.any(active & ~carry[3] & ~carry[4])
         return jax.lax.cond(pred, _window_body, lambda c: c, carry), None
 
     def _window_body(carry):
-        t_min, trans, found, resolved, t_samp, albedo, density_at_sample = carry
-        win_active = active & ~resolved
-        if cfg.use_clusters:
-            entry, exit_t, ids, count, t_lim_cl = _gather_intervals_clustered(
-                index, o, d, t_min, k, cfg.cluster_candidates
-            )
-        else:
-            entry, exit_t, ids, count = _gather_intervals(
-                primitives, o, d, t_min, k, cfg.chunk_size
-            )
-            t_lim_cl = jnp.full_like(t_min, jnp.inf)
+        (t_min, trans, found, resolved, bdead, t_samp, albedo,
+         density_at_sample) = carry
+        win_active = active & ~resolved & ~bdead
+        entry, exit_t, sel, valid_sel, t_limit, has_more = (
+            _window_from_collected(entry_all, exit_all, t_min, k)
+        )
+        ids = jnp.take_along_axis(ids_all, sel, axis=-1)
         ctr = work.centers[ids]
         scl = work.scales[ids]
         qt = work.quats[ids]
         coeffs = quadric.pair_coeffs(
             o[:, None, :], d[:, None, :], ctr, scl, qt
         )
-        sigma_t = sig_all[ids]
+        sigma_t = jnp.where(valid_sel, sig_all[ids], 0.0)
         s_prod = scl[..., 0] * scl[..., 1] * scl[..., 2]
-        # Window end: if the interval buffer or the cluster shortlist was
-        # full, the corresponding entry bounds what we can resolve;
-        # otherwise everything is known.
-        full = (count >= k) | jnp.isfinite(t_lim_cl)
-        t_limit = jnp.minimum(
-            jnp.where(count >= k, entry[:, -1], jnp.inf), t_lim_cl
-        )
+        # The walk may not pass the collection budget: density beyond it is
+        # unknown. Rays pinned at the budget die (reference
+        # max_depth_primitive semantics).
+        t_limit = jnp.minimum(t_limit, t_budget)
+        full = has_more | jnp.isfinite(t_budget)
 
         trans_new, found_w, ts_w, trans_samp = _free_flight_window(
             kern, entry, exit_t, coeffs, sigma_t, s_prod, t_limit,
@@ -471,9 +564,14 @@ def free_flight(
         )
         found = found | new_found
         resolved = resolved | found | (win_active & ~full)
-        t_min = jnp.where(win_active & ~resolved, t_limit, t_min)
+        # pinned at the budget: no further progress is possible
+        bdead = bdead | (
+            win_active & ~found_w & full & (t_limit >= t_budget)
+        )
+        t_min = jnp.where(win_active & ~resolved & ~bdead, t_limit, t_min)
         return (
-            t_min, trans, found, resolved, t_samp, albedo, density_at_sample
+            t_min, trans, found, resolved, bdead, t_samp, albedo,
+            density_at_sample,
         )
 
     init = (
@@ -481,15 +579,17 @@ def free_flight(
         jnp.ones((r,), o.dtype),  # trans
         jnp.zeros((r,), bool),  # found
         jnp.zeros((r,), bool),  # resolved (found or confirmed escape)
+        jnp.zeros((r,), bool),  # bdead (pinned at the collection budget)
         jnp.full((r,), jnp.inf, o.dtype),  # t_samp
         jnp.zeros((r, 3), o.dtype),  # albedo
         jnp.ones((r,), o.dtype),  # density_at_sample (differentiable pdf)
     )
-    (t_min, trans, found, resolved, t_samp, albedo, density_at_sample), _ = (
+    (t_min, trans, found, resolved, bdead, t_samp, albedo,
+     density_at_sample), _ = (
         jax.lax.scan(window_step, init, None, length=cfg.max_windows)
     )
 
-    dead = active & ~resolved  # window budget exhausted
+    dead = active & ~resolved  # window/collection budget exhausted
     escaped = active & resolved & ~found
     score_found = _score_ratio(density_at_sample, found)
     score_escape = _score_ratio(trans, escaped)

@@ -27,6 +27,7 @@ available for parity checks and secondary rays.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -240,8 +241,17 @@ def render_state(
     spp: int = 1,
     seed=0,
     jitter: bool = True,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Render one camera from prepared state. Returns [H, W, 3]."""
+    """Render one camera from prepared state. Returns [H, W, 3].
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the tile axis is sharded
+    over the mesh's first axis via ``shard_map`` — the whole per-frame
+    pipeline (cull, gather, composite) is an independent map over tiles, so
+    devices never communicate until the caller reduces the image (SURVEY
+    §2.2 "rays/pixels/cameras sharded along data"). Images are bitwise
+    identical to the single-device render (per-tile RNG keys).
+    """
     h, w = camera.height, camera.width
     tp = cfg.tile_pixels
     th = int(tp**0.5)
@@ -254,13 +264,7 @@ def render_state(
     n_ty, n_tx = h // th, w // tw
     n_tiles = n_ty * n_tx
     rt = th * tw
-    g = cfg.tile_group
-    while n_tiles % g:
-        g -= 1
 
-    work = state.prims
-    s = min(cfg.max_candidates, work.num_prims)
-    s = max(cfg.segment, (s // cfg.segment) * cfg.segment) if s >= cfg.segment else s
     basis_k = state.sh48.shape[1] and _basis_count(state)
 
     # pixel coordinates in tile order: [T, RT]
@@ -272,15 +276,72 @@ def render_state(
     px0 = jnp.broadcast_to(
         xs[None, :, None, :], (n_ty, n_tx, th, tw)
     ).reshape(n_tiles, rt).astype(jnp.float32)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 
     from .base import _as_key
 
     base_key = _as_key(seed)
-    origin = jnp.asarray(camera.to_world[:3, 3], jnp.float32)
-    rot = jnp.asarray(camera.to_world[:3, :3], jnp.float32)
-    focal = jnp.float32(camera.focal_length)
-    ppx = jnp.float32(camera.width / 2.0 - camera.cx)
-    ppy = jnp.float32(camera.height / 2.0 - camera.cy)
+    frame = functools.partial(
+        _render_tiles,
+        cfg=cfg,
+        cam=(
+            camera.to_world[:3, 3], camera.to_world[:3, :3],
+            float(camera.focal_length),
+            float(camera.width / 2.0 - camera.cx),
+            float(camera.height / 2.0 - camera.cy),
+        ),
+        basis_k=basis_k, spp=spp, jitter=jitter,
+    )
+    if mesh is None:
+        acc = frame(state, emitter, px0, py0, tile_ids, base_key)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        assert n_tiles % mesh.devices.size == 0, (
+            f"{n_tiles} tiles not divisible over {mesh.devices.size} devices"
+        )
+        acc = shard_map(
+            frame, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )(state, emitter, px0, py0, tile_ids, base_key)
+    img = acc.reshape(n_ty, n_tx, th, tw, 3).transpose(0, 2, 1, 3, 4)
+    return img.reshape(h, w, 3)
+
+
+def _render_tiles(
+    state: RFTiledState,
+    emitter,
+    px0: jnp.ndarray,  # [T, RT]
+    py0: jnp.ndarray,
+    tile_ids: jnp.ndarray,  # [T] global tile indices (per-tile RNG)
+    base_key,
+    *,
+    cfg: RFTiledConfig,
+    cam,
+    basis_k: int,
+    spp: int,
+    jitter: bool,
+):
+    """Cull, gather and composite a block of tiles. Returns [T, RT, 3]."""
+    origin_np, rot_np, focal_f, ppx_f, ppy_f = cam
+    n_tiles, rt = px0.shape
+    g = cfg.tile_group
+    while n_tiles % g:
+        g -= 1
+
+    work = state.prims
+    s = min(cfg.max_candidates, work.num_prims)
+    s = max(cfg.segment, (s // cfg.segment) * cfg.segment) if s >= cfg.segment else s
+
+    origin = jnp.asarray(origin_np, jnp.float32)
+    rot = jnp.asarray(rot_np, jnp.float32)
+    focal = jnp.float32(focal_f)
+    ppx = jnp.float32(ppx_f)
+    ppy = jnp.float32(ppy_f)
 
     def dirs_from(px, py):
         dl = jnp.stack(
@@ -342,6 +403,9 @@ def render_state(
             k_cl += pad_k
         s = k_cl * cs
         ncl = work.num_prims // cs
+        # live segments per tile (valid clusters sort first in the shortlist)
+        n_valid = jnp.sum(cl_valid, axis=-1)
+        n_seg_t = -(-n_valid // per_seg)
         # cluster-blocked gathers: contiguous [cs, F] slices instead of
         # per-row gathers — the rows of invalid clusters become neutral
         ptab = composite3.pack_fused_features(work, origin)  # [N, 16]
@@ -358,17 +422,13 @@ def render_state(
         ).reshape(n_tiles, k_cl * cs, 48)
 
         def render_sample_fused(i):
-            if jitter:
-                key = jax.random.fold_in(base_key, i)
-                off = jax.random.uniform(key, (n_tiles, rt, 2))
-            else:
-                off = jnp.full((n_tiles, rt, 2), 0.5)
+            off = _tile_offsets(base_key, i, tile_ids, rt, jitter)
             d = dirs_from(px0 + off[..., 0], py0 + off[..., 1])  # [T, RT, 3]
             d8 = jnp.concatenate(
                 [d, jnp.zeros(d.shape[:-1] + (5,), d.dtype)], axis=-1
             )
             l, beta = composite3.composite_tiles3(
-                d8, pf_t, sh_t,
+                d8, pf_t, sh_t, n_seg_t,
                 seg=seg,
                 extent2=state.extent**2,
                 max_depth=cfg.max_depth if cfg.max_depth > 0 else 10**6,
@@ -391,9 +451,7 @@ def render_state(
             body_fused, jnp.zeros((n_tiles, rt, 3), jnp.float32),
             jnp.arange(spp),
         )
-        img = acc / spp
-        img = img.reshape(n_ty, n_tx, th, tw, 3).transpose(0, 2, 1, 3, 4)
-        return img.reshape(h, w, 3)
+        return acc / spp
 
     # The compositors consume the shortlist in fixed-width segments; pad the
     # shortlist up to a segment multiple so small scenes (s < segment, or
@@ -436,11 +494,7 @@ def render_state(
         aux2_t = jnp.stack([opac2_t, c02_t], axis=1)  # [T, 2, S]
 
     def render_sample(i):
-        if jitter:
-            key = jax.random.fold_in(base_key, i)
-            off = jax.random.uniform(key, (n_tiles, rt, 2))
-        else:
-            off = jnp.full((n_tiles, rt, 2), 0.5)
+        off = _tile_offsets(base_key, i, tile_ids, rt, jitter)
         px = px0 + off[..., 0]
         py = py0 + off[..., 1]
         d = dirs_from(px, py)  # [T, RT, 3]
@@ -514,9 +568,18 @@ def render_state(
     acc, _ = jax.lax.scan(
         body, jnp.zeros((n_tiles, rt, 3), jnp.float32), jnp.arange(spp)
     )
-    img = acc / spp
-    img = img.reshape(n_ty, n_tx, th, tw, 3).transpose(0, 2, 1, 3, 4)
-    return img.reshape(h, w, 3)
+    return acc / spp
+
+
+def _tile_offsets(base_key, i, tile_ids, rt, jitter):
+    """Per-tile jitter offsets [T, RT, 2] keyed by *global* tile id, so a
+    sharded render is bitwise identical to the single-device one."""
+    if not jitter:
+        return jnp.full((tile_ids.shape[0], rt, 2), 0.5)
+    key_i = jax.random.fold_in(base_key, i)
+    return jax.vmap(
+        lambda t: jax.random.uniform(jax.random.fold_in(key_i, t), (rt, 2))
+    )(tile_ids)
 
 
 def _basis_count(state: RFTiledState) -> int:

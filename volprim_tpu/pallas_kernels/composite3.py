@@ -48,6 +48,26 @@ _FEAT = 16
 _DN_T = (((1,), (1,)), ((), ()))
 
 
+def _dot3_t(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """bf16x3 emulated-f32 GEMM contracting the last dims ([RT,K]x[C,K]).
+
+    Mosaic offers only DEFAULT (1 bf16 pass) or HIGHEST (6 passes); the
+    quadric coefficients need ~f32 accuracy but not the full 6-pass split.
+    Splitting each operand into bf16 hi+lo and keeping the three largest
+    cross terms gives ~2^-22 relative error at half the HIGHEST MXU cost —
+    enough for the closest-approach q (b only *positions* the evaluation
+    point; see module docstring)."""
+    f32 = jnp.float32
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(f32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(xh, wh, _DN_T, preferred_element_type=f32)
+    out = out + jax.lax.dot_general(xh, wl, _DN_T, preferred_element_type=f32)
+    out = out + jax.lax.dot_general(xl, wh, _DN_T, preferred_element_type=f32)
+    return out
+
+
 def pack_fused_features(prims, origin: jnp.ndarray) -> jnp.ndarray:
     """[N, 16] per-frame rows (M6 doubled-off-diag, u = Mw, w = o - c, opac).
 
@@ -72,9 +92,10 @@ def pack_fused_features(prims, origin: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     opac = prims.attrs["opacities"][:, 0:1]
+    c0 = jnp.sum(w_loc * w_loc, axis=-1, keepdims=True)  # w^T M w
     n = prims.num_prims
     return jnp.concatenate(
-        [m6, u, w, opac, jnp.zeros((n, 3), jnp.float32)], axis=1
+        [m6, u, w, opac, c0, jnp.zeros((n, 2), jnp.float32)], axis=1
     )
 
 
@@ -88,8 +109,9 @@ def neutral_fused_row() -> jnp.ndarray:
 
 
 def _fwd3_kernel(
-    d_ref, pf_ref, sh_ref, ut_ref, out_ref,
+    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
+    stable_q=True,
 ):
     rt = d_ref.shape[1]
     f32 = jnp.float32
@@ -107,29 +129,28 @@ def _fwd3_kernel(
         log_beta, lr, lg, lb_, count = carry
         sl = pl.ds(si * seg, seg)
         pf = pf_ref[0, sl, :]  # [C, 16]
-        a = jax.lax.dot_general(
-            f6, pf[:, 0:6], _DN_T, precision=hp, preferred_element_type=f32
-        )  # d^T M d
-        b = jax.lax.dot_general(
-            d3, pf[:, 6:9], _DN_T, precision=hp, preferred_element_type=f32
-        )  # d^T M w
+        a = _dot3_t(f6, pf[:, 0:6])  # d^T M d
+        b = _dot3_t(d3, pf[:, 6:9])  # d^T M w
         # per-primitive broadcast rows via an exact MXU transpose
         pfT = jax.lax.dot_general(
             eye16, pf, _DN_T, precision=hp, preferred_element_type=f32
         )  # [16, C]
-        m11, m22, m33 = pfT[0:1, :], pfT[1:2, :], pfT[2:3, :]
-        m12_2, m13_2, m23_2 = pfT[3:4, :], pfT[4:5, :], pfT[5:6, :]
-        wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
         opac = pfT[12:13, :]
 
         t_peak = -b / a
-        px = wx + t_peak * dx
-        py = wy + t_peak * dy
-        pz = wz + t_peak * dz
-        q_min = (
-            m11 * px * px + m22 * py * py + m33 * pz * pz
-            + m12_2 * px * py + m13_2 * px * pz + m23_2 * py * pz
-        )
+        if stable_q:
+            m11, m22, m33 = pfT[0:1, :], pfT[1:2, :], pfT[2:3, :]
+            m12_2, m13_2, m23_2 = pfT[3:4, :], pfT[4:5, :], pfT[5:6, :]
+            wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
+            px = wx + t_peak * dx
+            py = wy + t_peak * dy
+            pz = wz + t_peak * dz
+            q_min = (
+                m11 * px * px + m22 * py * py + m33 * pz * pz
+                + m12_2 * px * py + m13_2 * px * pz + m23_2 * py * pz
+            )
+        else:
+            q_min = pfT[13:14, :] + t_peak * b
         q_min = jnp.maximum(q_min, 0.0)
         disc = (extent2 - q_min) / a
         t_near = t_peak - jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -167,11 +188,14 @@ def _fwd3_kernel(
 
     zeros = jnp.zeros((rt, 1), f32)
     init = (zeros, zeros, zeros, zeros, zeros)
+    # Per-tile dynamic trip count: segments holding only culled-out
+    # (neutral) cluster slots are never visited (sky/edge tiles).
+    n_seg_t = jnp.minimum(nseg_ref[pl.program_id(0), 0], n_seg)
     if early_exit:
 
         def cond(state):
             si, (log_beta, *_rest) = state
-            return (si < n_seg) & (jnp.max(log_beta) > log_kill)
+            return (si < n_seg_t) & (jnp.max(log_beta) > log_kill)
 
         def body(state):
             si, carry = state
@@ -181,7 +205,9 @@ def _fwd3_kernel(
             cond, body, (jnp.int32(0), init)
         )
     else:
-        log_beta, lr, lg, lb_, _ = jax.lax.fori_loop(0, n_seg, seg_body, init)
+        log_beta, lr, lg, lb_, _ = jax.lax.fori_loop(
+            0, n_seg_t, seg_body, init
+        )
     out_ref[0] = jnp.concatenate(
         [lr, lg, lb_, jnp.exp(log_beta), jnp.zeros((rt, 4), f32)], axis=1
     )
@@ -191,13 +217,15 @@ def _fwd3_kernel(
     jax.jit,
     static_argnames=(
         "seg", "extent2", "max_depth", "beta_kill", "degree", "sh_k",
-        "early_exit", "interpret",
+        "early_exit", "stable_q", "interpret",
     ),
 )
 def composite_tiles3(
     d8: jnp.ndarray,  # [T, RT, 8] ray directions (xyz + pad)
     pf: jnp.ndarray,  # [T, S, 16] fused per-prim rows (pack_fused_features)
     sh3: jnp.ndarray,  # [T, S, 48]
+    n_seg_t: jnp.ndarray = None,  # [T] int32 live segments per tile (None =
+    #                               all; pad slots beyond must be neutral)
     seg: int = 256,
     extent2: float = 9.0,
     max_depth: int = 128,
@@ -205,21 +233,30 @@ def composite_tiles3(
     degree: int = 3,
     sh_k: int = 16,
     early_exit: bool = True,
+    stable_q: bool = True,
     interpret: bool = False,
 ):
     """Fused forward compositor. Returns (L [T, RT, 3], beta [T, RT])."""
     t, rt, _ = d8.shape
     s = pf.shape[1]
     assert s % seg == 0
+    n_seg = s // seg
+    if n_seg_t is None:
+        n_seg_t = jnp.full((t,), n_seg, jnp.int32)
     kernel = functools.partial(
         _fwd3_kernel,
-        n_seg=s // seg, seg=seg, extent2=extent2, max_depth=max_depth,
+        n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, early_exit=early_exit,
+        stable_q=stable_q,
     )
     out = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=[
+            pl.BlockSpec(
+                (d8.shape[0], 1), lambda i: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec((1, rt, 8), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, s, _FEAT), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, s, 48), lambda i: (i, 0, 0)),
@@ -231,5 +268,8 @@ def composite_tiles3(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(d8, pf, sh3, jnp.triu(jnp.ones((seg, seg), jnp.float32)))
+    )(
+        n_seg_t.astype(jnp.int32).reshape(t, 1), d8, pf, sh3,
+        jnp.triu(jnp.ones((seg, seg), jnp.float32)),
+    )
     return out[..., :3], out[..., 3]
