@@ -69,6 +69,8 @@ class PRBConfig:
     phase_g: float = 0.0  # Henyey-Greenstein g when phase == 'hg'
     bounce_cap: int = 64  # static bound when max_depth == -1
     chunk_size: int = 1024  # shadow-ray transmittance chunking
+    ray_chunk: int = 65536  # wavefront rays per path-trace chunk (bounds
+    #                         the per-bounce working set at large films)
     # Per-ray Morton-cluster culling for interval collection: candidates
     # come from the nearest intersected clusters instead of scanning every
     # primitive. Default on since round 2: intervals are collected ONCE per
@@ -272,36 +274,57 @@ def _collect_intervals(
     else:
         t_budget_cl = jnp.full((r,), inf, o.dtype)
 
-    # ---- exact intervals on the candidate set ----------------------------
-    cand = (
-        cl_sel[..., None] * cs + jnp.arange(cs, dtype=cl_sel.dtype)
-    ).reshape(r, k_cl * cs)
-    cand_valid = jnp.broadcast_to(
-        cl_valid[..., None], (r, k_cl, cs)
-    ).reshape(r, k_cl * cs)
-    coeffs = quadric.pair_coeffs(
-        o[:, None, :], d[:, None, :],
-        prims.centers[cand], prims.scales[cand], prims.quats[cand],
-    )
-    valid, t_near, t_far = quadric.intersect_extent(coeffs, prims.extent)
-    t_near = jax.lax.stop_gradient(t_near)
-    t_far = jax.lax.stop_gradient(t_far)
-    valid = valid & cand_valid & (t_far > 0.0)
-    entry = jnp.where(valid, jnp.maximum(t_near, 0.0), inf)
+    # ---- exact intervals, streamed over cluster groups -------------------
+    # A one-shot [R, k_cl*cs] candidate evaluation materializes [R, C, 3, 3]
+    # rotation matrices and OOMs at film scale; stream groups of ~256
+    # candidates with a running top-kp merge instead (bounded memory).
+    g = max(1, 256 // cs)
+    n_groups = -(-k_cl // g)
+    if k_cl % g:
+        pad_k = n_groups * g - k_cl
+        cl_sel = jnp.pad(cl_sel, ((0, 0), (0, pad_k)))
+        cl_valid = jnp.pad(cl_valid, ((0, 0), (0, pad_k)))
+    offs = jnp.arange(cs, dtype=cl_sel.dtype)
 
-    kp_eff = min(kp, entry.shape[1])
-    neg_t, sel = jax.lax.top_k(-entry, kp_eff)
-    entry_k = -neg_t
-    exit_k = jnp.take_along_axis(jnp.where(valid, t_far, inf), sel, axis=-1)
-    ids_k = jnp.take_along_axis(cand, sel, axis=-1)
-    if kp_eff < kp:
-        pad = ((0, 0), (0, kp - kp_eff))
-        entry_k = jnp.pad(entry_k, pad, constant_values=inf)
-        exit_k = jnp.pad(exit_k, pad, constant_values=inf)
-        ids_k = jnp.pad(ids_k, pad)
+    def group_body(carry, gi):
+        entry_k, exit_k, ids_k = carry
+        sel_g = jax.lax.dynamic_slice_in_dim(cl_sel, gi * g, g, 1)
+        val_g = jax.lax.dynamic_slice_in_dim(cl_valid, gi * g, g, 1)
+        cand = (sel_g[..., None] * cs + offs).reshape(r, g * cs)
+        cand_valid = jnp.broadcast_to(
+            val_g[..., None], (r, g, cs)
+        ).reshape(r, g * cs)
+        coeffs = quadric.pair_coeffs_gathered(
+            o, d, prims.centers, prims.scales, prims.quats, cand
+        )
+        valid, t_near, t_far = quadric.intersect_extent(coeffs, prims.extent)
+        t_near = jax.lax.stop_gradient(t_near)
+        t_far = jax.lax.stop_gradient(t_far)
+        valid = valid & cand_valid & (t_far > 0.0)
+        entry = jnp.where(valid, jnp.maximum(t_near, 0.0), inf)
+        cat_e = jnp.concatenate([entry_k, entry], axis=-1)
+        cat_x = jnp.concatenate(
+            [exit_k, jnp.where(valid, t_far, inf)], axis=-1
+        )
+        cat_i = jnp.concatenate([ids_k, cand], axis=-1)
+        neg_t, sel = jax.lax.top_k(-cat_e, kp)
+        return (
+            -neg_t,
+            jnp.take_along_axis(cat_x, sel, axis=-1),
+            jnp.take_along_axis(cat_i, sel, axis=-1),
+        ), None
+
+    init = (
+        jnp.full((r, kp), inf, o.dtype),
+        jnp.full((r, kp), inf, o.dtype),
+        jnp.zeros((r, kp), cl_sel.dtype),
+    )
+    (entry_k, exit_k, ids_k), _ = jax.lax.scan(
+        group_body, init, jnp.arange(n_groups)
+    )
     count = jnp.sum(jnp.isfinite(entry_k), axis=-1)
     t_budget = jnp.minimum(
-        jnp.where(count >= kp_eff, entry_k[:, kp_eff - 1], inf), t_budget_cl
+        jnp.where(count >= kp, entry_k[:, kp - 1], inf), t_budget_cl
     )
     return entry_k, exit_k, ids_k, t_budget
 
@@ -383,11 +406,14 @@ def _free_flight_window(
     k = entry.shape[1]
     s = 2 * k - 1
     events = jnp.sort(jnp.concatenate([entry, exit_t], axis=-1), axis=-1)
-    t0s = events[:, :-1]  # [R, S]
-    t1s = events[:, 1:]
+    # Clamp segments at the window end rather than dropping them: t_limit is
+    # usually an event boundary (an interval entry/exit), but it can also be
+    # a cluster-budget bound or a surface hit distance that falls strictly
+    # inside a segment — the walk must still cover [start, t_limit) exactly.
+    t0s = jnp.minimum(events[:, :-1], t_limit[:, None])  # [R, S]
+    t1s = jnp.minimum(events[:, 1:], t_limit[:, None])
     valid_seg = (
-        jnp.isfinite(t1s) & (t1s > t0s) & (t1s <= t_limit[:, None])
-        & active[:, None]
+        jnp.isfinite(t1s) & (t1s > t0s) & active[:, None]
     )
 
     # tau of every segment at once: [R, S, K] broadcast, reduce K.
@@ -479,6 +505,7 @@ def free_flight(
     cfg: PRBConfig,
     active: jnp.ndarray,
     index=None,
+    t_max=None,
 ):
     """Sample a medium interaction along each ray (exact inverse-CDF over the
     piecewise multi-primitive density).
@@ -490,6 +517,11 @@ def free_flight(
     (the reference kills such paths via max_depth_primitive, prb:456-459).
     The two score factors are numerically 1 but carry the gradients of the
     sampling density / survival probability (see :func:`_score_ratio`).
+
+    ``t_max`` [R] (optional) caps the march at a surface hit: rays reaching
+    it unresolved count as *escaped* with the transmittance integrated over
+    exactly [0, t_max] — the reference's march-to-``si.t`` behavior
+    (common.py:461-466, volprim_prb.py:134-137).
     """
     primitives.require_attrs(["sigma_t", "albedo"])
     kern = cfg.kernel
@@ -502,6 +534,8 @@ def free_flight(
 
     sig_all = work.attrs["sigma_t"][:, 0]
     alb_all = work.attrs["albedo"]
+    sprod_all = work.scales[:, 0] * work.scales[:, 1] * work.scales[:, 2]
+    t_cap = jnp.full((r,), jnp.inf, o.dtype) if t_max is None else t_max
 
     # All interval collection happens ONCE per bounce; windows select from
     # the precollected set below (round-2 redesign; see _collect_intervals).
@@ -523,18 +557,18 @@ def free_flight(
             _window_from_collected(entry_all, exit_all, t_min, k)
         )
         ids = jnp.take_along_axis(ids_all, sel, axis=-1)
-        ctr = work.centers[ids]
-        scl = work.scales[ids]
-        qt = work.quats[ids]
-        coeffs = quadric.pair_coeffs(
-            o[:, None, :], d[:, None, :], ctr, scl, qt
+        coeffs = quadric.pair_coeffs_gathered(
+            o, d, work.centers, work.scales, work.quats, ids
         )
         sigma_t = jnp.where(valid_sel, sig_all[ids], 0.0)
-        s_prod = scl[..., 0] * scl[..., 1] * scl[..., 2]
+        s_prod = sprod_all[ids]
         # The walk may not pass the collection budget: density beyond it is
         # unknown. Rays pinned at the budget die (reference
-        # max_depth_primitive semantics).
+        # max_depth_primitive semantics). A surface cap (t_cap) instead
+        # *resolves* the ray when reached.
         t_limit = jnp.minimum(t_limit, t_budget)
+        hit_cap = t_limit >= t_cap
+        t_limit = jnp.minimum(t_limit, t_cap)
         full = has_more | jnp.isfinite(t_budget)
 
         trans_new, found_w, ts_w, trans_samp = _free_flight_window(
@@ -551,7 +585,11 @@ def free_flight(
         cover = (entry <= ts_w[:, None]) & (exit_t >= ts_w[:, None])
         pdf_j = jnp.where(cover, kern.pdf_q(q_at, s_prod) * sigma_t, 0.0)
         accum_pdf = jnp.sum(pdf_j, axis=-1)
-        accum_alb = jnp.einsum("rk,rkc->rc", pdf_j, alb_all[ids])
+        # per-channel gathers: a gathered [R, K, 3] pads 42x on TPU
+        accum_alb = jnp.stack(
+            [jnp.sum(pdf_j * alb_all[:, ch][ids], axis=-1) for ch in range(3)],
+            axis=-1,
+        )
         alb_w = accum_alb * _safe_rcp(accum_pdf)[:, None]
 
         trans = jnp.where(win_active, trans_new, trans)
@@ -563,10 +601,12 @@ def free_flight(
             new_found, accum_pdf * trans_samp, density_at_sample
         )
         found = found | new_found
-        resolved = resolved | found | (win_active & ~full)
+        resolved = resolved | found | (
+            win_active & ~found_w & (~full | hit_cap)
+        )
         # pinned at the budget: no further progress is possible
         bdead = bdead | (
-            win_active & ~found_w & full & (t_limit >= t_budget)
+            win_active & ~found_w & full & ~hit_cap & (t_limit >= t_budget)
         )
         t_min = jnp.where(win_active & ~resolved & ~bdead, t_limit, t_min)
         return (
@@ -707,16 +747,67 @@ def radiance(
     d: jnp.ndarray,
     cfg: PRBConfig,
     key: Optional[jax.Array] = None,
+    mesh=None,
+    bsdf=None,
 ) -> jnp.ndarray:
-    """Path-traced radiance for a wavefront of rays (prb:74-301)."""
+    """Path-traced radiance for a wavefront of rays (prb:74-301).
+
+    ``mesh`` (a :class:`volprim_tpu.scene.mesh.TriangleMesh`) adds opaque
+    surfaces with per-vertex-attribute BSDFs: the march is capped at the
+    nearest surface hit and the path continues with a BSDF vertex — the
+    reference's ``active_surface`` branch (volprim_prb.py:134-137,195-235,
+    262-282). ``bsdf`` is an :mod:`volprim_tpu.ops.bsdf` model (default
+    Diffuse); its attributes are interpolated from the mesh's vertex attrs.
+    """
     if emitter is None:
         raise ValueError(
             "volprim_prb requires an environment emitter (prb:76-80)"
         )
     key = key if key is not None else jax.random.PRNGKey(0)
     r = o.shape[0]
+    rc = cfg.ray_chunk
+    if rc and r > rc:
+        # Bound the per-bounce working set: path-trace fixed-size ray
+        # chunks sequentially (lax.map), each with its own RNG stream.
+        n_pad = (-r) % rc
+        o_p = jnp.concatenate([o, jnp.ones((n_pad, 3), o.dtype)], axis=0)
+        d_p = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)], axis=0)
+        n_chunks = o_p.shape[0] // rc
+
+        def chunk_fn(args):
+            idx, o_c, d_c = args
+            return radiance(
+                primitives, emitter, o_c, d_c,
+                dataclasses.replace(cfg, ray_chunk=0),
+                jax.random.fold_in(key, idx),
+                mesh=mesh, bsdf=bsdf,
+            )
+
+        out = jax.lax.map(
+            chunk_fn,
+            (
+                jnp.arange(n_chunks),
+                o_p.reshape(n_chunks, rc, 3),
+                d_p.reshape(n_chunks, rc, 3),
+            ),
+        )
+        return out.reshape(-1, 3)[:r]
     n_steps = cfg.num_bounces
     ff_index = build_ff_index(primitives, cfg) if cfg.use_clusters else None
+
+    use_surfaces = mesh is not None
+    if use_surfaces:
+        from ..ops import bsdf as bsdf_ops
+        from ..scene import mesh as mesh_mod
+
+        if bsdf is None:
+            bsdf = bsdf_ops.Diffuse()
+        # shading normals as an interpolatable attribute (computed once)
+        mesh_sh = mesh_mod.TriangleMesh(
+            mesh.vertices, mesh.faces,
+            {**mesh.attrs, "_vn": mesh.vertex_normals()},
+        )
+        attr_names = getattr(bsdf, "attr_names", lambda: ["base_color"])()
 
     @jax.checkpoint
     def bounce(carry, i):
@@ -731,17 +822,31 @@ def radiance(
     def _bounce_body(carry, i):
         o_c, d_c, beta, l_acc, active, prev_pdf = carry
         kb = jax.random.fold_in(key, i)
-        k_ff, k_nee, k_phase, k_rr = jax.random.split(kb, 4)
+        k_ff, k_nee, k_phase, k_rr, k_bsdf = jax.random.split(kb, 5)
+
+        # --- surface intersection caps the march (common.py:461-466) ---
+        if use_surfaces:
+            s_valid, t_surf, fid, uv = mesh_mod.intersect(
+                mesh_sh, o_c, d_c, t_min=1e-4
+            )
+            t_cap = jnp.where(s_valid, t_surf, jnp.inf)
+        else:
+            s_valid = jnp.zeros((r,), bool)
+            t_cap = None
 
         xi = jax.random.uniform(k_ff, (r,), minval=1e-7, maxval=1.0)
         found, dead, t_samp, albedo, score_found, score_escape = free_flight(
-            primitives, o_c, d_c, xi, cfg, active, index=ff_index
+            primitives, o_c, d_c, xi, cfg, active, index=ff_index,
+            t_max=t_cap,
         )
         escaped = active & ~found & ~dead
+        at_surface = escaped & s_valid
+        escaped_env = escaped & ~s_valid
         active_medium = active & found
         if cfg.max_depth > 0:
             # depth is incremented before the depth test (prb:141-143).
             active_medium = active_medium & ((i + 1) < cfg.max_depth)
+            at_surface = at_surface & ((i + 1) < cfg.max_depth)
 
         # --- environment hit with MIS (prb:165-187) ---
         if cfg.use_indirect:
@@ -751,7 +856,7 @@ def radiance(
                 )
             else:
                 emitter_pdf = jnp.zeros((r,))
-            vis = escaped & ~((i == 0) & cfg.hide_emitters)
+            vis = escaped_env & ~((i == 0) & cfg.hide_emitters)
             lr_dir = (
                 beta
                 * score_escape[:, None]  # survival-probability score grads
@@ -768,25 +873,62 @@ def radiance(
         )
         p_int = o_c + d_c * jnp.where(found, t_samp, 0.0)[:, None]
 
-        # --- NEE (prb:195-235) ---
+        # --- surface vertex: shading frame + attributes (prb:262-282) ---
+        if use_surfaces:
+            # transmittance-to-surface score gradients enter the throughput
+            beta = jnp.where(
+                at_surface[:, None], beta * score_escape[:, None], beta
+            )
+            n_sh = mesh_sh.interpolate("_vn", fid, uv)
+            n_sh = n_sh / jnp.maximum(
+                jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-12
+            )
+            p_surf = (
+                o_c + d_c * jnp.where(s_valid, t_surf, 0.0)[:, None]
+                + 1e-4 * n_sh
+            )
+            wi_loc = bsdf_ops.to_local(n_sh, -d_c)
+            attrs_s = {}
+            for name in attr_names:
+                v = mesh_sh.interpolate(name, fid, uv)
+                attrs_s[name] = v if v.shape[-1] > 1 else v[:, 0]
+
+        # --- NEE (prb:195-235), unified medium/surface ---
         if cfg.use_nee:
             s2 = jax.random.uniform(k_nee, (r, 2))
             ds_dir, ds_val, ds_pdf = emitter.sample_direction(s2)
-            tr = transmittance(primitives, p_int, ds_dir, cfg)
+            p_nee = (
+                jnp.where(at_surface[:, None], p_surf, p_int)
+                if use_surfaces else p_int
+            )
+            tr = transmittance(primitives, p_nee, ds_dir, cfg)
+            if use_surfaces:
+                tr = tr * (
+                    1.0 - mesh_mod.occluded(mesh_sh, p_nee, ds_dir)
+                )
             phase_val = eval_phase_pdf(-d_c, ds_dir, cfg)
-            phase_pdf = (
-                phase_val if cfg.use_indirect else jnp.zeros_like(phase_val)
+            nee_val = phase_val[:, None] * jnp.ones((r, 3))
+            nee_pdf = phase_val
+            if use_surfaces:
+                wl = bsdf_ops.to_local(n_sh, ds_dir)
+                b_val = bsdf.eval(attrs_s, wi_loc, wl, at_surface)
+                b_pdf = bsdf.pdf(attrs_s, wi_loc, wl, at_surface)
+                nee_val = jnp.where(at_surface[:, None], b_val, nee_val)
+                nee_pdf = jnp.where(at_surface, b_pdf, nee_pdf)
+            nee_pdf_mis = (
+                nee_pdf if cfg.use_indirect else jnp.zeros_like(nee_pdf)
             )
             lr_nee = (
                 beta
-                * phase_val[:, None]
-                * _mis_weight(ds_pdf, phase_pdf)[:, None]
+                * nee_val
+                * _mis_weight(ds_pdf, nee_pdf_mis)[:, None]
                 * tr[:, None]
                 * ds_val
                 / jnp.maximum(ds_pdf, 1e-30)[:, None]
             )
             lr_nee = jnp.where(
-                (active_medium & (ds_pdf > 0.0))[:, None], lr_nee, 0.0
+                ((active_medium | at_surface) & (ds_pdf > 0.0))[:, None],
+                lr_nee, 0.0,
             )
             l_acc = l_acc + lr_nee
 
@@ -795,9 +937,21 @@ def radiance(
         o_c = jnp.where(active_medium[:, None], p_int, o_c)
         d_c = jnp.where(active_medium[:, None], wo, d_c)
         prev_pdf = jnp.where(active_medium, phase_pdf_s, prev_pdf)
+        active = active_medium
+
+        # --- BSDF sampling (prb:262-282) ---
+        if use_surfaces:
+            wo_l, bs_pdf, bs_w = bsdf.sample(attrs_s, wi_loc, k_bsdf, at_surface)
+            surf_cont = at_surface & (bs_pdf > 0.0)
+            o_c = jnp.where(surf_cont[:, None], p_surf, o_c)
+            d_c = jnp.where(
+                surf_cont[:, None], bsdf_ops.to_world(n_sh, wo_l), d_c
+            )
+            beta = jnp.where(surf_cont[:, None], beta * bs_w, beta)
+            prev_pdf = jnp.where(surf_cont, bs_pdf, prev_pdf)
+            active = active | surf_cont
 
         # --- RR + throughput kill (prb:288-298) ---
-        active = active_medium
         if cfg.use_rr:
             q = jnp.minimum(jnp.max(beta, axis=-1), 0.99)
             perform = (i + 1) > cfg.rr_depth  # traced scalar

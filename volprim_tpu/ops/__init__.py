@@ -1,5 +1,6 @@
 """Pure-math ops: quadric forms, kernels, SH, emitters, filters."""
 
+from . import bsdf
 from . import envmap
 from . import filters
 from . import kernels

@@ -140,6 +140,45 @@ def pair_coeffs(
     return QuadricCoeffs(a, b, c)
 
 
+def pair_coeffs_gathered(
+    o: jnp.ndarray,  # [R, 3]
+    d: jnp.ndarray,  # [R, 3]
+    centers: jnp.ndarray,  # [N, 3]
+    scales: jnp.ndarray,  # [N, 3]
+    quats: jnp.ndarray,  # [N, 4]
+    ids: jnp.ndarray,  # [R, C] primitive ids per ray
+) -> QuadricCoeffs:
+    """Quadric coefficients for per-ray gathered primitive ids.
+
+    Equivalent to ``pair_coeffs(o[:,None], d[:,None], centers[ids], ...)``
+    but gathers one scalar column at a time: on TPU a gathered ``[R, C, 3]``
+    array is laid out with the size-3 minor dimension padded to the 128-wide
+    lane tile (a 42x memory expansion that OOMs at film scale); fifteen
+    ``[R, C]`` gathers have no padding at all.
+    """
+    rot = quaternion.to_rotation_matrix(quats)  # [N, 3, 3]
+    cx = centers[:, 0][ids]
+    cy = centers[:, 1][ids]
+    cz = centers[:, 2][ids]
+    px_ = o[:, 0:1] - cx
+    py_ = o[:, 1:2] - cy
+    pz_ = o[:, 2:3] - cz
+    a = jnp.zeros(ids.shape, o.dtype)
+    b = jnp.zeros_like(a)
+    c = jnp.zeros_like(a)
+    for i in range(3):
+        r0 = rot[:, 0, i][ids]
+        r1 = rot[:, 1, i][ids]
+        r2 = rot[:, 2, i][ids]
+        inv_s = (1.0 / scales[:, i])[ids]
+        w = (d[:, 0:1] * r0 + d[:, 1:2] * r1 + d[:, 2:3] * r2) * inv_s
+        p = (px_ * r0 + py_ * r1 + pz_ * r2) * inv_s
+        a = a + w * w
+        b = b + w * p
+        c = c + p * p
+    return QuadricCoeffs(a, b, c)
+
+
 # ----------------------------------------------------------------------------
 # Feature-matrix (MXU) formulation, used by Pallas kernels.
 # ----------------------------------------------------------------------------

@@ -4,6 +4,7 @@ from . import asset
 from . import cameras
 from . import colmap
 from . import ellipsoids
+from . import mesh
 from . import ply
 from . import vol
 
@@ -17,5 +18,6 @@ from .cameras import (
     look_at,
 )
 from .ellipsoids import EllipsoidScene, EllipsoidsFactory, lattice_init
+from .mesh import TriangleMesh
 from .ply import load_ply, save_ply
 from .vol import GridVolume, load_vol, procedural_smoke, save_vol
