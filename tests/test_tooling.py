@@ -138,3 +138,44 @@ def test_radiance_cache_query():
     assert wi.shape == (1, 8, 3) and np.isfinite(np.asarray(li)).all()
     # sampled directions in the upper hemisphere of the normal
     assert float(jnp.min(wi[..., 2])) > 0.0
+
+def test_radiosity_loss_and_recovery():
+    """The radiosity residual drives trainable vertex base_color toward the
+    ground truth (the run.ipynb recovery experiment, coarse budget)."""
+    from volprim_tpu import optim
+    from volprim_tpu.ops import bsdf as bsdf_ops
+    from volprim_tpu.ops import envmap as em_mod
+    from volprim_tpu.scene import mesh as mesh_mod
+
+    model = bsdf_ops.Diffuse()
+    m = mesh_mod.make_rect(
+        [0, 0, 0], [2, 0, 0], [0, 0, -2],
+        attrs={"base_color": [0.8, 0.3, 0.2]},
+    )
+    em = em_mod.ConstantEmitter(radiance=jnp.ones(3))
+    cache = radiance_cache.RadianceCache(
+        emitter=em, mesh=m, bsdf=model, integrator="prb",
+    )
+    nv = m.num_vertices
+    params = {"base_color": jnp.full((nv, 3), 0.5)}
+    opt = optim.BoundedAdam(lr=5e-2)
+    opt.set_bounds("base_color", lower=1e-3, upper=1.0 - 1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, st, key):
+        loss, g = jax.value_and_grad(
+            lambda q: radiance_cache.compute_loss(
+                cache, m, q, model, key, num_points=32, num_wi=48
+            )
+        )(p)
+        p, st = opt.step(p, g, st)
+        return p, st, loss
+
+    mae0 = float(jnp.mean(jnp.abs(params["base_color"] - m.attrs["base_color"])))
+    key = jax.random.PRNGKey(0)
+    for it in range(25):
+        params, state, loss = step(params, state, jax.random.fold_in(key, it))
+    mae = float(jnp.mean(jnp.abs(params["base_color"] - m.attrs["base_color"])))
+    assert np.isfinite(float(loss))
+    assert mae < 0.5 * mae0, (mae0, mae)
