@@ -38,6 +38,15 @@ parser.add_argument("--volume_grid", type=str, default=None, help=".vol file")
 parser.add_argument("--cam_count", type=int, default=8)
 parser.add_argument("--cam_res", type=int, default=256)
 parser.add_argument("--ref_spp", type=int, default=32)
+parser.add_argument(
+    "--ref_mode", type=str, default="scattering",
+    choices=["scattering", "absorption"],
+    help="ground-truth renderer: 'scattering' matches the reference's "
+    "prbvolpath + heterogeneous medium (optimize_volume.py:91-122); "
+    "'absorption' is the round-1 transmittance-only marcher",
+)
+parser.add_argument("--ref_albedo", type=float, default=0.6,
+                    help="medium albedo for scattering refs (:107)")
 parser.add_argument("--opt_spp", type=int, default=1)
 parser.add_argument("--max_depth", type=int, default=-1)
 parser.add_argument("--kernel", type=str, default="gaussian")
@@ -81,14 +90,19 @@ grid = (
     if args.volume_grid
     else vp.scene.procedural_smoke()
 )
-gcfg = gridvol.GridVolumeConfig(sigma_scale=5.0)
+gcfg = gridvol.GridVolumeConfig(sigma_scale=5.0, albedo=args.ref_albedo)
 grid_t = gridvol.transform_grid(grid, gcfg)
 emitter = vp.ops.envmap.ConstantEmitter(radiance=jnp.ones(3))
 
-print("Rendering reference images:")
+print(f"Rendering reference images ({args.ref_mode}):")
+ref_fn = (
+    gridvol.radiance_scattering
+    if args.ref_mode == "scattering"
+    else gridvol.radiance
+)
 ref_image = jnp.clip(
     vp.models.render_batch(
-        grid_t, cameras, gridvol.radiance, gcfg, emitter, spp=args.ref_spp
+        grid_t, cameras, ref_fn, gcfg, emitter, spp=args.ref_spp
     ),
     0.0, 1.0,
 )

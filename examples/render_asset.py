@@ -26,28 +26,49 @@ parser.add_argument("--spp", type=int, default=4)
 parser.add_argument("--output", type=str, default="output.exr")
 args = parser.parse_args()
 
-asset = vp.io.load_asset(args.asset)
-prims = asset["primitives"]
-camera = asset["cameras"][args.cam_index].scaled(args.cam_scale)
+# Auto-detect the asset flavor: the reference toolchain writes importable
+# Python modules (volprim/io.py:87-273), this framework's native format is
+# scene.json (vp.io). Both render through the same pipeline.
+if os.path.exists(os.path.join(args.asset, "__init__.py")):
+    from volprim_tpu.scene import asset_interop
 
-integ = dict(asset["integrator"])
-name = integ.pop("type", "volprim_tomography")
-cfg_cls = vp.models.CONFIGS[name]
-cfg = cfg_cls(**{k: v for k, v in integ.items() if k in cfg_cls.__dataclass_fields__})
-radiance_fn = vp.models.REGISTRY[name]
+    ref = asset_interop.load_reference_asset(args.asset)
+    prims = ref["primitives"]
+    cams = ref["cameras"] or [
+        vp.scene.CameraSpecs(
+            name="default", width=512, height=512,
+            to_world=vp.scene.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]),
+            fov=45.0,
+        )
+    ]
+    camera = cams[args.cam_index].scaled(args.cam_scale)
+    name = ref["integrator"] or "volprim_tomography"
+    cfg = vp.models.CONFIGS[name]()
+    radiance_fn = vp.models.REGISTRY[name]
+    emitter = ref["emitter"]
+else:
+    asset = vp.io.load_asset(args.asset)
+    prims = asset["primitives"]
+    camera = asset["cameras"][args.cam_index].scaled(args.cam_scale)
 
-emitters = asset["emitters"]
-emitter = None
-if emitters:
-    spec = next(iter(emitters.values()))
-    if spec.get("type") == "constant":
-        emitter = vp.ops.envmap.ConstantEmitter(
-            radiance=jnp.full((3,), float(spec.get("radiance", 1.0)))
-        )
-    elif spec.get("type") == "envmap" and spec.get("array") in asset["arrays"]:
-        emitter = vp.ops.envmap.EnvironmentMap.from_array(
-            asset["arrays"][spec["array"]]
-        )
+    integ = dict(asset["integrator"])
+    name = integ.pop("type", "volprim_tomography")
+    cfg_cls = vp.models.CONFIGS[name]
+    cfg = cfg_cls(**{k: v for k, v in integ.items() if k in cfg_cls.__dataclass_fields__})
+    radiance_fn = vp.models.REGISTRY[name]
+
+    emitters = asset["emitters"]
+    emitter = None
+    if emitters:
+        spec = next(iter(emitters.values()))
+        if spec.get("type") == "constant":
+            emitter = vp.ops.envmap.ConstantEmitter(
+                radiance=jnp.full((3,), float(spec.get("radiance", 1.0)))
+            )
+        elif spec.get("type") == "envmap" and spec.get("array") in asset["arrays"]:
+            emitter = vp.ops.envmap.EnvironmentMap.from_array(
+                asset["arrays"][spec["array"]]
+            )
 
 render = jax.jit(
     lambda p: vp.models.render(

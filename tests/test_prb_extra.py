@@ -118,3 +118,34 @@ def test_hg_furnace():
     )
     out = np.asarray(radiance(s, em, o, d, cfg, jax.random.PRNGKey(3)))
     assert abs(out[:, 0].mean() - 1.0) < 0.04
+
+
+def test_compaction_statistically_equivalent():
+    """Active-ray compaction (sorted chunks + skipped dead chunks) changes
+    only the RNG partitioning: estimates agree to MC noise and runs are
+    deterministic."""
+    s = chain_scene(12, sigma_t=0.8, albedo=0.7)
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    n = 4096
+    rng = np.random.default_rng(0)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (n, 1))
+    dd = rng.normal(size=(n, 3)) * 0.2 + [0, 0, 1.0]
+    d = jnp.asarray(
+        (dd / np.linalg.norm(dd, axis=-1, keepdims=True)).astype(np.float32)
+    )
+    base = dict(max_overlaps=8, max_windows=4, bounce_cap=16, chunk_size=32,
+                use_clusters=False)
+    a = np.asarray(radiance(
+        s, em, o, d, PRBConfig(compact_chunk=0, **base), jax.random.PRNGKey(5)
+    ))
+    b = np.asarray(radiance(
+        s, em, o, d, PRBConfig(compact_chunk=512, **base),
+        jax.random.PRNGKey(5),
+    ))
+    b2 = np.asarray(radiance(
+        s, em, o, d, PRBConfig(compact_chunk=512, **base),
+        jax.random.PRNGKey(5),
+    ))
+    np.testing.assert_array_equal(b, b2)  # deterministic
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) < 0.01, (a.mean(), b.mean())

@@ -114,3 +114,136 @@ def test_lattice_init():
     s = scene.lattice_init(4)
     assert s.num_prims == 64
     assert float(jnp.min(s.centers)) == -1.0
+
+
+def test_reference_asset_roundtrip(tmp_path):
+    """save_reference_asset writes an importable Python-asset dir that
+    load_reference_asset (and, structurally, the reference's asset_to_dict)
+    reads back: primitives, cameras and emitter survive the round trip."""
+    import jax.numpy as jnp
+
+    from volprim_tpu.ops.envmap import ConstantEmitter
+    from volprim_tpu.scene import asset_interop
+
+    rng = np.random.default_rng(0)
+    n = 17
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    prims = scene.EllipsoidScene(
+        centers=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        scales=jnp.asarray(
+            rng.uniform(0.05, 0.4, size=(n, 3)).astype(np.float32)
+        ),
+        quats=jnp.asarray(quats),
+        attrs={
+            "sigma_t": jnp.asarray(
+                rng.uniform(0.1, 2.0, size=(n, 1)).astype(np.float32)
+            ),
+            "albedo": jnp.asarray(
+                rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+            ),
+        },
+    )
+    cams = [
+        scene.CameraSpecs(
+            name=f"c{i}", width=64, height=48,
+            to_world=scene.look_at(
+                [0, 0.5, -3 - i], [0, 0, 0], [0, 1, 0]
+            ),
+            fov=40.0 + i,
+        )
+        for i in range(2)
+    ]
+    em = ConstantEmitter(radiance=jnp.ones(3) * 0.8)
+
+    out = tmp_path / "asset"
+    asset_interop.save_reference_asset(str(out), prims, cams, em)
+    assert (out / "__init__.py").exists()
+    assert (out / "data" / "root.object.ply").exists()
+
+    back = asset_interop.load_reference_asset(str(out))
+    p2 = back["primitives"]
+    np.testing.assert_allclose(
+        np.asarray(p2.centers), np.asarray(prims.centers), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2.scales), np.asarray(prims.scales), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2.attrs["sigma_t"]), np.asarray(prims.attrs["sigma_t"]),
+        rtol=1e-5,
+    )
+    assert len(back["cameras"]) == 2
+    c0 = back["cameras"][0]
+    assert (c0.width, c0.height) == (64, 48)
+    np.testing.assert_allclose(
+        c0.to_world, cams[0].to_world, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(back["emitter"].radiance), 0.8, rtol=1e-6
+    )
+
+
+def test_reference_asset_reader_handles_reference_style_file(tmp_path):
+    """Reader executes an __init__.py shaped exactly like the reference's
+    dict_to_asset output (io.py:253-273), incl. T().look_at and np.load."""
+    import jax.numpy as jnp
+
+    from volprim_tpu.scene import asset_interop
+
+    out = tmp_path / "asset"
+    (out / "data").mkdir(parents=True)
+    np.save(out / "data" / "root.object.extras.npy", np.ones((4, 1)))
+    # a minimal reference-style ellipsoid PLY via our own codec
+    rng = np.random.default_rng(1)
+    quats = rng.normal(size=(4, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    prims = scene.EllipsoidScene(
+        centers=jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+        scales=jnp.asarray(np.full((4, 3), 0.3, np.float32)),
+        quats=jnp.asarray(quats),
+        attrs={"sigma_t": jnp.asarray(np.full((4, 1), 1.5, np.float32))},
+    )
+    from volprim_tpu.scene import ply as ply_io
+
+    ply_io.save_ply(prims, str(out / "data" / "root.object.ply"))
+
+    (out / "__init__.py").write_text(
+        "import os\n"
+        "from os.path import join, dirname\n"
+        "import numpy as np\n"
+        "import drjit as dr\n"
+        "import mitsuba as mi\n"
+        "from mitsuba.scalar_rgb import ScalarTransform4f as T\n"
+        "\n"
+        "OBJECTS = {\n"
+        "    'resources': { 'type': 'resources', 'path': dirname(__file__) },\n"
+        "    'object': {\n"
+        "        'type': 'ellipsoidsmesh',\n"
+        "        'filename': r'data/root.object.ply',\n"
+        "        'extra': np.load(join(dirname(__file__), 'data/root.object.extras.npy')),\n"
+        "    },\n"
+        "}\n"
+        "\n"
+        "SENSORS = {\n"
+        "    'sensor': {\n"
+        "        'type': 'perspective',\n"
+        "        'fov': 39.0,\n"
+        "        'to_world': T().look_at(\n"
+        "             origin=[0, 1, -4],\n"
+        "             target=[0, 0, 0],\n"
+        "             up=[0, 1, 0],\n"
+        "         ),\n"
+        "        'film': { 'type': 'hdrfilm', 'width': 32, 'height': 24 },\n"
+        "    },\n"
+        "}\n"
+        "\n"
+        "EMITTERS = {\n"
+        "    'environment': { 'type': 'constant',\n"
+        "        'radiance': { 'type': 'rgb', 'value': 1.0 } },\n"
+        "}\n"
+    )
+    back = asset_interop.load_reference_asset(str(out))
+    assert back["primitives"].num_prims == 4
+    assert back["cameras"][0].fov == 39.0
+    assert back["emitter"] is not None

@@ -119,3 +119,62 @@ def test_render_smoke_image():
     assert img.min() >= 0.0 and img.max() <= 1.0 + 1e-5
     # the plume must absorb something
     assert img.min() < 0.9
+
+
+def test_gridvol_scattering_furnace():
+    """Uniform grid, albedo 1, constant env: radiance == env (furnace)."""
+    from volprim_tpu.models import gridvol
+    from volprim_tpu.scene.vol import GridVolume
+
+    grid = GridVolume(
+        data=jnp.ones((8, 8, 8, 1)) * 0.8,
+        bbox_min=jnp.asarray([-1.0, -1.0, -1.0]),
+        bbox_max=jnp.asarray([1.0, 1.0, 1.0]),
+    )
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    cfg = gridvol.GridVolumeConfig(
+        sigma_scale=3.0, albedo=1.0, bounce_cap=64, tracking_steps=64,
+        shadow_steps=64,
+    )
+    n = 4096
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    out = np.asarray(gridvol.radiance_scattering(
+        grid, em, o, d, cfg, jax.random.PRNGKey(0)
+    ))
+    assert np.isfinite(out).all()
+    assert abs(out[:, 0].mean() - 1.0) < 0.03, out[:, 0].mean()
+
+
+def test_gridvol_scattering_absorbing_limit():
+    """albedo=0 reduces to the absorption marcher (transmittance x env)."""
+    from volprim_tpu.models import gridvol
+    from volprim_tpu.scene.vol import GridVolume
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        rng.uniform(0.1, 0.9, size=(6, 6, 6, 1)).astype(np.float32)
+    )
+    grid = GridVolume(
+        data=data,
+        bbox_min=jnp.asarray([-1.0, -1.0, -1.0]),
+        bbox_max=jnp.asarray([1.0, 1.0, 1.0]),
+    )
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    cfg = gridvol.GridVolumeConfig(
+        sigma_scale=2.0, albedo=0.0, bounce_cap=8, tracking_steps=96,
+        num_steps=256,
+    )
+    n = 8192
+    rng2 = np.random.default_rng(1)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (n, 1))
+    dd = rng2.normal(size=(n, 3)) * 0.1 + [0, 0, 1.0]
+    d = jnp.asarray(
+        (dd / np.linalg.norm(dd, axis=-1, keepdims=True)).astype(np.float32)
+    )
+    mc = np.asarray(gridvol.radiance_scattering(
+        grid, em, o, d, cfg, jax.random.PRNGKey(1)
+    ))
+    ref = np.asarray(gridvol.radiance(grid, em, o, d, cfg))
+    # delta tracking is unbiased: means agree to MC noise
+    assert abs(mc[:, 0].mean() - ref[:, 0].mean()) < 0.015

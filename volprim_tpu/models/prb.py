@@ -71,6 +71,10 @@ class PRBConfig:
     chunk_size: int = 1024  # shadow-ray transmittance chunking
     ray_chunk: int = 65536  # wavefront rays per path-trace chunk (bounds
     #                         the per-bounce working set at large films)
+    compact_chunk: int = 8192  # active-ray compaction granularity: each
+    #                            bounce sorts live rays to the front and
+    #                            processes fixed chunks, skipping all-dead
+    #                            chunks entirely (lax.cond). 0 disables.
     # Per-ray Morton-cluster culling for interval collection: candidates
     # come from the nearest intersected clusters instead of scanning every
     # primitive. Default on since round 2: intervals are collected ONCE per
@@ -809,6 +813,59 @@ def radiance(
         )
         attr_names = getattr(bsdf, "attr_names", lambda: ["base_color"])()
 
+    cc = cfg.compact_chunk
+    use_compact = bool(cc) and r > cc and r % cc == 0
+
+    def _bounce_body(carry, i):
+        if not use_compact:
+            o_c, d_c, beta, l_acc, active, prev_pdf, ray_id = carry
+            out = _bounce_core(
+                (o_c, d_c, beta, l_acc, active, prev_pdf),
+                i, jax.random.fold_in(key, i),
+            )
+            return out + (ray_id,)
+        # Active-ray compaction: sort live rays to the front (stable), then
+        # process fixed chunks — all-dead chunks skip the whole bounce body
+        # (free flight, NEE, sampling) via lax.cond. ray_id carries each
+        # row's original film index for the final unpermute.
+        o_c, d_c, beta, l_acc, active, prev_pdf, ray_id = carry
+        order = jnp.argsort(~active, stable=True)
+        o_c, d_c, beta, l_acc, prev_pdf = (
+            o_c[order], d_c[order], beta[order], l_acc[order],
+            prev_pdf[order],
+        )
+        active = active[order]
+        ray_id = ray_id[order]
+        nc = r // cc
+        ki = jax.random.fold_in(key, i)
+
+        def chunk_fn(args):
+            ci, oc, dc, bc, lc, ac, pc = args
+
+            def go(_):
+                return _bounce_core(
+                    (oc, dc, bc, lc, ac, pc), i,
+                    jax.random.fold_in(ki, ci),
+                )
+
+            return jax.lax.cond(
+                jnp.any(ac), go, lambda _: (oc, dc, bc, lc, ac, pc), 0
+            )
+
+        o2, d2, b2, l2, a2, p2 = jax.lax.map(
+            chunk_fn,
+            (
+                jnp.arange(nc),
+                o_c.reshape(nc, cc, 3), d_c.reshape(nc, cc, 3),
+                beta.reshape(nc, cc, 3), l_acc.reshape(nc, cc, 3),
+                active.reshape(nc, cc), prev_pdf.reshape(nc, cc),
+            ),
+        )
+        return (
+            o2.reshape(r, 3), d2.reshape(r, 3), b2.reshape(r, 3),
+            l2.reshape(r, 3), a2.reshape(r), p2.reshape(r), ray_id,
+        )
+
     @jax.checkpoint
     def bounce(carry, i):
         # Skip dead bounces entirely (all paths terminated/escaped).
@@ -819,9 +876,9 @@ def radiance(
             carry,
         ), None
 
-    def _bounce_body(carry, i):
+    def _bounce_core(carry, i, kb):
         o_c, d_c, beta, l_acc, active, prev_pdf = carry
-        kb = jax.random.fold_in(key, i)
+        rl = o_c.shape[0]
         k_ff, k_nee, k_phase, k_rr, k_bsdf = jax.random.split(kb, 5)
 
         # --- surface intersection caps the march (common.py:461-466) ---
@@ -831,10 +888,10 @@ def radiance(
             )
             t_cap = jnp.where(s_valid, t_surf, jnp.inf)
         else:
-            s_valid = jnp.zeros((r,), bool)
+            s_valid = jnp.zeros((rl,), bool)
             t_cap = None
 
-        xi = jax.random.uniform(k_ff, (r,), minval=1e-7, maxval=1.0)
+        xi = jax.random.uniform(k_ff, (rl,), minval=1e-7, maxval=1.0)
         found, dead, t_samp, albedo, score_found, score_escape = free_flight(
             primitives, o_c, d_c, xi, cfg, active, index=ff_index,
             t_max=t_cap,
@@ -855,7 +912,7 @@ def radiance(
                     i > 0, emitter.pdf_direction(d_c), 0.0
                 )
             else:
-                emitter_pdf = jnp.zeros((r,))
+                emitter_pdf = jnp.zeros((rl,))
             vis = escaped_env & ~((i == 0) & cfg.hide_emitters)
             lr_dir = (
                 beta
@@ -895,7 +952,7 @@ def radiance(
 
         # --- NEE (prb:195-235), unified medium/surface ---
         if cfg.use_nee:
-            s2 = jax.random.uniform(k_nee, (r, 2))
+            s2 = jax.random.uniform(k_nee, (rl, 2))
             ds_dir, ds_val, ds_pdf = emitter.sample_direction(s2)
             p_nee = (
                 jnp.where(at_surface[:, None], p_surf, p_int)
@@ -907,7 +964,7 @@ def radiance(
                     1.0 - mesh_mod.occluded(mesh_sh, p_nee, ds_dir)
                 )
             phase_val = eval_phase_pdf(-d_c, ds_dir, cfg)
-            nee_val = phase_val[:, None] * jnp.ones((r, 3))
+            nee_val = phase_val[:, None] * jnp.ones((rl, 3))
             nee_pdf = phase_val
             if use_surfaces:
                 wl = bsdf_ops.to_local(n_sh, ds_dir)
@@ -955,7 +1012,7 @@ def radiance(
         if cfg.use_rr:
             q = jnp.minimum(jnp.max(beta, axis=-1), 0.99)
             perform = (i + 1) > cfg.rr_depth  # traced scalar
-            u = jax.random.uniform(k_rr, (r,))
+            u = jax.random.uniform(k_rr, (rl,))
             active = active & ((u < q) | ~perform)
             beta = jnp.where(perform, beta / jnp.maximum(q, 1e-6)[:, None], beta)
         active = active & jnp.any(beta > 0.005, axis=-1)
@@ -969,6 +1026,9 @@ def radiance(
         jnp.zeros((r, 3), o.dtype),
         jnp.ones((r,), bool),
         jnp.ones((r,), o.dtype),  # prev_event_pdf = 1 (prb:95)
+        jnp.arange(r, dtype=jnp.int32),  # original film index (compaction)
     )
-    (_, _, _, l_acc, _, _), _ = jax.lax.scan(bounce, init, jnp.arange(n_steps))
-    return l_acc
+    (_, _, _, l_acc, _, _, ray_id), _ = jax.lax.scan(
+        bounce, init, jnp.arange(n_steps)
+    )
+    return jnp.zeros((r, 3), o.dtype).at[ray_id].set(l_acc)

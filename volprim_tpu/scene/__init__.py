@@ -1,6 +1,7 @@
 """Scene data model and I/O."""
 
 from . import asset
+from . import asset_interop
 from . import cameras
 from . import colmap
 from . import ellipsoids
