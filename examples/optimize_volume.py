@@ -48,6 +48,8 @@ parser.add_argument(
 parser.add_argument("--ref_albedo", type=float, default=0.6,
                     help="medium albedo for scattering refs (:107)")
 parser.add_argument("--opt_spp", type=int, default=1)
+parser.add_argument("--grad_spp", type=int, default=0,
+                    help="adjoint spp (mi.render spp_grad, :233); 0 = opt_spp")
 parser.add_argument("--max_depth", type=int, default=-1)
 parser.add_argument("--kernel", type=str, default="gaussian")
 parser.add_argument("--iterations", type=int, default=64)
@@ -158,10 +160,17 @@ def to_scene(p) -> EllipsoidScene:
 @jax.jit
 def train_step(p, state, seed):
     def loss_fn(p):
-        img = vp.models.render_batch(
-            to_scene(p), cameras, tomography.radiance, cfg, emitter,
-            spp=args.opt_spp, seed=seed,
-        )
+        if args.grad_spp and args.grad_spp != args.opt_spp:
+            fr = vp.models.render_with_spp_grad(
+                cameras, tomography.radiance, cfg, emitter,
+                spp=args.opt_spp, spp_grad=args.grad_spp, seed=seed,
+            )
+            img = fr(to_scene(p))
+        else:
+            img = vp.models.render_batch(
+                to_scene(p), cameras, tomography.radiance, cfg, emitter,
+                spp=args.opt_spp, seed=seed,
+            )
         return vp.optimizers.l1(ref_image, img), img
 
     (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)

@@ -127,3 +127,61 @@ def test_tomography_optimization_e2e():
     # sigma_t respected its bounds
     assert float(params["sigmat"].min()) >= 1e-8
     assert float(params["sigmat"].max()) <= 1e-3
+
+
+def test_render_with_spp_grad():
+    """spp_grad == spp reproduces plain AD exactly; spp_grad < spp gives a
+    cheaper, still-correlated adjoint (mi.render spp/spp_grad semantics)."""
+    import jax
+
+    from volprim_tpu import models, scene
+    from volprim_tpu.models import tomography
+    from volprim_tpu.ops import envmap
+
+    f = scene.EllipsoidsFactory()
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        f.add(mean=rng.normal(size=3) * 0.4, scale=0.2,
+              sigma_t=rng.uniform(0.5, 2.0), albedo=0.8)
+    s = f.build()
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    cam = scene.CameraSpecs(
+        name="c", width=16, height=16,
+        to_world=scene.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]), fov=45.0,
+    )
+    cfg = tomography.TomographyConfig(chunk_size=16)
+    target = jnp.zeros((16, 16, 3))
+
+    def loss_plain(sig):
+        s2 = scene.EllipsoidScene(
+            s.centers, s.scales, s.quats, {**s.attrs, "sigma_t": sig},
+            s.extent,
+        )
+        img = models.render(
+            s2, cam, tomography.radiance, cfg, em, spp=4, seed=3
+        )
+        return jnp.mean((img - target) ** 2)
+
+    def loss_split(sig, sg):
+        s2 = scene.EllipsoidScene(
+            s.centers, s.scales, s.quats, {**s.attrs, "sigma_t": sig},
+            s.extent,
+        )
+        fr = models.render_with_spp_grad(
+            cam, tomography.radiance, cfg, em, spp=4, spp_grad=sg, seed=3
+        )
+        return jnp.mean((fr(s2) - target) ** 2)
+
+    g_plain = jax.grad(loss_plain)(s.attrs["sigma_t"])
+    g_same = jax.grad(lambda p: loss_split(p, 4))(s.attrs["sigma_t"])
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_same),
+                               rtol=1e-6)
+    g_cheap = jax.grad(lambda p: loss_split(p, 1))(s.attrs["sigma_t"])
+    g_cheap = np.asarray(g_cheap)
+    g_ref = np.asarray(g_plain)
+    assert np.isfinite(g_cheap).all()
+    # cheap adjoint is a noisier estimate of the same gradient
+    cos = (g_cheap * g_ref).sum() / (
+        np.linalg.norm(g_cheap) * np.linalg.norm(g_ref) + 1e-12
+    )
+    assert cos > 0.9, cos

@@ -19,7 +19,7 @@ def register_integrator(name):
 
 
 from . import tomography  # noqa: E402,F401
-from .base import Film, render, render_batch  # noqa: E402
+from .base import Film, render, render_batch, render_with_spp_grad  # noqa: E402
 from . import rf  # noqa: E402,F401
 from . import prb  # noqa: E402,F401
 from . import gridvol  # noqa: E402,F401

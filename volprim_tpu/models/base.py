@@ -208,3 +208,52 @@ def render_batch(
     )
     film, _ = jax.lax.scan(body, film0, jnp.arange(spp))
     return film.develop()
+
+
+def render_with_spp_grad(
+    camera: CameraSpecs,
+    radiance_fn: RadianceFn,
+    cfg: Any,
+    emitter: Optional[envmap_ops.Emitter] = None,
+    spp: int = 8,
+    spp_grad: int = 1,
+    seed: Union[int, jax.Array] = 0,
+    rfilter: str = "box",
+    mesh=None,
+):
+    """Primal/adjoint sample-count split — ``mi.render(..., spp,
+    spp_grad)`` semantics (the reference optimizes with ref_spp-quality
+    primals but 1-spp adjoints, examples/optimize_volume.py:233).
+
+    Returns ``f(primitives) -> [H, W, 3]`` whose forward pass renders with
+    ``spp`` samples while its VJP re-renders with ``spp_grad`` samples (the
+    same base seed, so ``spp_grad == spp`` reproduces plain AD exactly).
+    ``camera`` may be a list of cameras (the batch sensor, render_batch).
+    """
+    rfn = render_batch if isinstance(camera, (list, tuple)) else render
+
+    def primal(p):
+        return rfn(
+            p, camera, radiance_fn, cfg, emitter, spp=spp, seed=seed,
+            rfilter=rfilter, mesh=mesh,
+        )
+
+    def adjoint(p):
+        return rfn(
+            p, camera, radiance_fn, cfg, emitter, spp=spp_grad, seed=seed,
+            rfilter=rfilter, mesh=mesh,
+        )
+
+    @jax.custom_vjp
+    def f(p):
+        return primal(p)
+
+    def fwd(p):
+        return primal(p), p
+
+    def bwd(p, g):
+        _, vjp = jax.vjp(adjoint, p)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -171,3 +171,90 @@ def generate(
         np.savez(
             os.path.join(output, "points3d.npz"), points=pts, colors=colors
         )
+
+
+def write_points3d_ply(path: str, points: np.ndarray, colors: np.ndarray,
+                       normals: Optional[np.ndarray] = None) -> None:
+    """Write a GS/NeRF-style point cloud PLY (positions + colors + normals,
+    the open3d layout of write_point_cloud, data_generation.py:43-54)."""
+    n = points.shape[0]
+    if normals is None:
+        normals = np.zeros_like(points)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property double x\nproperty double y\nproperty double z\n"
+        "property double nx\nproperty double ny\nproperty double nz\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+    rec = np.zeros(
+        n,
+        dtype=[(k, "<f8") for k in ("x", "y", "z", "nx", "ny", "nz")]
+        + [(k, "u1") for k in ("red", "green", "blue")],
+    )
+    for i, k in enumerate(("x", "y", "z")):
+        rec[k] = points[:, i]
+    for i, k in enumerate(("nx", "ny", "nz")):
+        rec[k] = normals[:, i]
+    c8 = np.clip(np.asarray(colors) * 255.0, 0, 255).astype(np.uint8)
+    for i, k in enumerate(("red", "green", "blue")):
+        rec[k] = c8[:, i]
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(rec.tobytes())
+
+
+def generate_hdr(
+    output: str,
+    render_fn: Callable[[CameraSpecs, int], jnp.ndarray],
+    cams: List[CameraSpecs],
+    point_cloud: Optional[tuple] = None,
+    exposures: tuple = (0.2, 0.4, 0.6, 0.8, 1.0),
+):
+    """HDR dataset variant (DataGeneratorHDR, data_generation.py:353-466):
+    COLMAP-style layout — exr/<id>.exr HDR renders, images/<id>_<e>.png
+    multi-exposure LDR brackets, transforms_train.json with intrinsics
+    (w/h/cx/cy), sparse/0/points3D.ply seed cloud."""
+    os.makedirs(os.path.join(output, "exr"), exist_ok=True)
+    os.makedirs(os.path.join(output, "images"), exist_ok=True)
+    os.makedirs(os.path.join(output, "sparse", "0"), exist_ok=True)
+
+    for cam_id, cam in enumerate(cams):
+        img = np.asarray(render_fn(cam, cam_id))
+        image_io.write_image(
+            os.path.join(output, "exr", f"{cam_id}.exr"), img
+        )
+        for exp_id, scale in enumerate(exposures):
+            image_io.write_image(
+                os.path.join(output, "images", f"{cam_id}_{exp_id}.png"),
+                np.clip(img * scale, 0.0, 1.0),
+            )
+
+    cam0 = cams[0]
+    data = {
+        "camera_angle_x": float(np.deg2rad(cam0.fov)),
+        "w": cam0.width,
+        "h": cam0.height,
+        "cx": cam0.width / 2,
+        "cy": cam0.height / 2,
+        "frames": [],
+    }
+    flip = np.diag([-1.0, 1.0, -1.0, 1.0])
+    for cam_id, cam in enumerate(cams):
+        data["frames"].append(
+            {
+                "file_path": f"{cam_id}",
+                "transform_matrix": (
+                    cam.to_world.astype(np.float64) @ flip
+                ).tolist(),
+            }
+        )
+    with open(os.path.join(output, "transforms_train.json"), "w") as f:
+        json.dump(data, f, ensure_ascii=False, indent=4)
+
+    if point_cloud is not None:
+        pts, colors = point_cloud
+        write_points3d_ply(
+            os.path.join(output, "sparse", "0", "points3D.ply"), pts, colors
+        )
