@@ -257,7 +257,60 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- smoke-PRB metric (BASELINE config #3, the other headline half) --
+    prb_stats = {}
+    if os.environ.get("BENCH_PRB", "1") != "0":
+        from volprim_tpu import models as vmodels
+        from volprim_tpu.models import prb as prb_mod
+
+        smoke = vp.scene.load_ply("/root/reference/resources/smoke.ply")
+        smoke.attrs["sigma_t"] = smoke.attrs["sigma_t"] * 10.0
+        sky = vp.ops.envmap.procedural_sky()
+        pcam = vp.scene.CameraSpecs(
+            name="prb", width=256, height=256,
+            to_world=vp.scene.look_at(
+                [-4.0, -0.3, 0.0], [0, 0, 0], [0, 1, 0]
+            ),
+            fov=40.0,
+        )
+        pcfg = prb_mod.PRBConfig(
+            max_depth=-1, bounce_cap=32, max_overlaps=8, max_windows=16,
+            collect_budget=128, use_clusters=False,
+        )
+        pj = jax.jit(
+            lambda p, s: vmodels.render(
+                p, pcam, prb_mod.radiance, pcfg, sky, spp=1, seed=s
+            )
+        )
+        img_p = pj(smoke, jnp.int32(0))
+        assert np.isfinite(np.asarray(img_p)).all()
+        pts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(pj(smoke, jnp.int32(i + 1))))
+            pts.append(time.perf_counter() - t0)
+        prb_s = float(np.min(pts))
+        prb_mrays = 256 * 256 / prb_s / 1e6
+        prb_stats = {
+            "prb_smoke_256_ms": round(prb_s * 1e3, 1),
+            "prb_smoke_mrays": round(prb_mrays, 3),
+        }
+        print(
+            f"prb smoke 256^2x1spp: {prb_s * 1e3:.0f} ms "
+            f"({prb_mrays:.2f} Mrays/s primary)",
+            file=sys.stderr,
+        )
+
     baseline_proxy = 100.0  # Mrays/sec, see module docstring
+    details = {
+        "rf_mrays": round(mrays, 3),
+        "rf_psnr_vs_2x_shortlist_db": round(psnr2x, 2),
+        "stages": stage,
+        **prb_stats,
+    }
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=1)
     print(
         json.dumps(
             {

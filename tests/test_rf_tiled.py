@@ -242,3 +242,58 @@ def test_fused_backend_matches_xla_order():
     assert np.isfinite(img_f).all()
     np.testing.assert_allclose(img_f, img_xla, rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(img_fe, img_f, rtol=1e-5, atol=1e-6)
+
+
+def test_two_level_cull_matches_single_level():
+    """Strip-coarse + per-tile refinement must reproduce the single-level
+    shortlist when the coarse stage over-collects (coarse_factor x)."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False, tile_pixels=256,
+        max_candidates=1024, segment=128, use_clusters=True, cluster_size=16,
+        backend="fused",
+    )
+    a = np.asarray(rf_tiled.render(
+        s, cam, rf_tiled.RFTiledConfig(**kw), None, spp=1, seed=0,
+        jitter=False,
+    ))
+    b = np.asarray(rf_tiled.render(
+        s, cam, rf_tiled.RFTiledConfig(coarse_group=4, coarse_factor=4, **kw),
+        None, spp=1, seed=0, jitter=False,
+    ))
+    mse = np.mean((a - b) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 45.0, psnr
+
+
+def test_refinement_recovers_truncated_tiles():
+    """refine_fraction=1.0 with factor f must equal a base pass with an
+    f-times-larger shortlist (exact mechanics), and partial refinement must
+    not regress the base."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False, tile_pixels=256,
+        segment=128, use_clusters=True, cluster_size=16, backend="fused",
+    )
+    full = np.asarray(rf_tiled.render(
+        s, cam,
+        rf_tiled.RFTiledConfig(
+            max_candidates=512, refine_fraction=1.0, refine_factor=4, **kw
+        ),
+        None, spp=1, seed=0, jitter=False,
+    ))
+    big = np.asarray(rf_tiled.render(
+        s, cam, rf_tiled.RFTiledConfig(max_candidates=2048, **kw),
+        None, spp=1, seed=0, jitter=False,
+    ))
+    np.testing.assert_allclose(full, big, rtol=1e-5, atol=1e-6)

@@ -82,3 +82,52 @@ def shortlist(
     """
     neg, ids = jax.lax.top_k(-keys, max_candidates)
     return ids.astype(jnp.int32), jnp.isfinite(-neg)
+
+
+def shortlist_approx(
+    keys: jnp.ndarray, max_candidates: int, recall: float = 0.95
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Like :func:`shortlist` but via ``lax.approx_max_k`` — the TPU-native
+    partial top-k (SIMD bucketing instead of a full sort), ~recall 0.95.
+    Used for the *coarse* culling stage, which over-collects anyway."""
+    neg, ids = jax.lax.approx_max_k(
+        -keys, max_candidates, recall_target=recall
+    )
+    order = jnp.argsort(-neg, axis=-1)  # approx_max_k returns unsorted-ish
+    neg = jnp.take_along_axis(neg, order, axis=-1)
+    ids = jnp.take_along_axis(ids, order, axis=-1)
+    return ids.astype(jnp.int32), jnp.isfinite(-neg)
+
+
+def cone_cull_keys_cols(
+    origin: jnp.ndarray,  # [3]
+    axis: jnp.ndarray,  # [..., 3] per-tile cone axes
+    cos_half: jnp.ndarray,  # [...]
+    cx: jnp.ndarray,  # [..., K] gathered sphere-center columns
+    cy: jnp.ndarray,
+    cz: jnp.ndarray,
+    radii: jnp.ndarray,  # [..., K]
+) -> jnp.ndarray:
+    """:func:`cone_cull_keys` on pre-gathered center columns — used by the
+    two-level cull, where each fine tile tests only its coarse parent's
+    shortlist. Shapes broadcast: axis [..., 3] against columns [..., K]."""
+    vx = cx - origin[0]
+    vy = cy - origin[1]
+    vz = cz - origin[2]
+    dist2 = vx * vx + vy * vy + vz * vz
+    dist = jnp.sqrt(dist2)
+    safe = jnp.maximum(dist, 1e-8)
+    depth = (
+        vx * axis[..., 0:1] + vy * axis[..., 1:2] + vz * axis[..., 2:3]
+    )
+    cos_theta = depth / safe
+    sin_rho = jnp.clip(radii / safe, 0.0, 1.0)
+    cos_rho = jnp.sqrt(jnp.maximum(1.0 - sin_rho * sin_rho, 0.0))
+    ch = jnp.clip(cos_half[..., None], -1.0, 1.0)
+    sh = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+    wraps = cos_rho <= -ch
+    inside = wraps | (cos_theta >= ch * cos_rho - sh * sin_rho)
+    in_front = depth + radii > 1e-4
+    contains = dist <= radii
+    hit = (inside & in_front) | contains
+    return jnp.where(hit, depth, jnp.inf)

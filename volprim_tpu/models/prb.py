@@ -71,7 +71,7 @@ class PRBConfig:
     chunk_size: int = 1024  # shadow-ray transmittance chunking
     ray_chunk: int = 65536  # wavefront rays per path-trace chunk (bounds
     #                         the per-bounce working set at large films)
-    compact_chunk: int = 8192  # active-ray compaction granularity: each
+    compact_chunk: int = 1024  # active-ray compaction granularity: each
     #                            bounce sorts live rays to the front and
     #                            processes fixed chunks, skipping all-dead
     #                            chunks entirely (lax.cond). 0 disables.

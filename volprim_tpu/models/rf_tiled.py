@@ -76,6 +76,23 @@ class RFTiledConfig:
     # (clusters are compact and already depth-sorted; PSNR impact is
     # validated in tests/test_rf_tiled.py and the sort dominated the frame).
     prim_resort: Optional[bool] = None
+    # Two-level culling: strips of `coarse_group` consecutive tiles first
+    # cull the full cluster set with an approximate top-k (over-collecting
+    # coarse_factor * the per-tile budget), then each tile cone-culls only
+    # its strip's survivors. Avoids per-tile [T, Ncl] exact top-k (sort
+    # bound) and lets small tiles (tighter cones -> better shortlists) stay
+    # cheap. 0 disables (single-level exact top-k).
+    coarse_group: int = 0
+    coarse_factor: int = 4
+    # Residual-driven tile refinement (fused backend): after the base pass,
+    # the refine_fraction of tiles most likely truncated (full cluster list
+    # AND rays left unsaturated at the end of it) are re-rendered with a
+    # refine_factor-times-larger shortlist. Fixed shapes: the refined tile
+    # count is static; tiles without truncation signal keep their base
+    # result. 0.0 disables. Note: under a mesh the per-shard selection makes
+    # sharded renders statistically (not bitwise) equal to single-device.
+    refine_fraction: float = 0.0
+    refine_factor: int = 4
 
     @property
     def kernel(self) -> Kernel:
@@ -359,24 +376,62 @@ def _render_tiles(
     half = jnp.arccos(jnp.clip(cos_half, -1.0, 1.0)) + 1.5 / focal
     cos_half = jnp.cos(half)
 
-    keys = jax.vmap(
-        lambda ax, ch: tiling.cone_cull_keys(
-            origin, ax, ch, state.cull_centers, state.cull_radii
-        )
-    )(axis, cos_half)
     use_fused = cfg.backend == "fused"
     resort = cfg.prim_resort if cfg.prim_resort is not None else not use_fused
     if use_fused:
         assert state.clustered, "backend='fused' requires use_clusters=True"
-        assert not resort, "backend='fused' consumes cluster-blocked lists"
     if state.clustered:
         cs = state.cluster_size
         k_cl = max(1, s // cs)
-        cl_ids, cl_valid = tiling.shortlist(keys, k_cl)
-        if resort or not use_fused:
+        gc = cfg.coarse_group
+        if gc and n_tiles % gc == 0 and gc > 1:
+            # ---- two-level cull: strip cones -> per-tile refinement ------
+            n_coarse = n_tiles // gc
+            ax_g = axis.reshape(n_coarse, gc, 3)
+            c_axis = ax_g.mean(axis=1)
+            c_axis = c_axis / jnp.linalg.norm(c_axis, axis=-1, keepdims=True)
+            # strip half-angle covers every member tile's cone
+            cos_between = jnp.einsum("cgi,ci->cg", ax_g, c_axis)
+            ang = jnp.arccos(jnp.clip(cos_between, -1.0, 1.0)) + jnp.arccos(
+                jnp.clip(cos_half.reshape(n_coarse, gc), -1.0, 1.0)
+            )
+            c_cos = jnp.cos(jnp.max(ang, axis=1))
+            keys_c = jax.vmap(
+                lambda ax, ch: tiling.cone_cull_keys(
+                    origin, ax, ch, state.cull_centers, state.cull_radii
+                )
+            )(c_axis, c_cos)
+            k_c = min(
+                cfg.coarse_factor * k_cl, state.cull_centers.shape[0]
+            )
+            cl_c, cl_c_valid = tiling.shortlist_approx(keys_c, k_c)
+            # per-tile keys against the strip's survivors only
+            ccx = state.cull_centers[:, 0][cl_c]
+            ccy = state.cull_centers[:, 1][cl_c]
+            ccz = state.cull_centers[:, 2][cl_c]
+            ccr = jnp.where(cl_c_valid, state.cull_radii[cl_c], -1.0)
+            rep = lambda a: jnp.repeat(a, gc, axis=0)
+            keys = tiling.cone_cull_keys_cols(
+                origin, axis, cos_half,
+                rep(ccx), rep(ccy), rep(ccz), rep(ccr),
+            )
+            loc_ids, cl_valid = tiling.shortlist(keys, min(k_cl, k_c))
+            cl_ids = jnp.take_along_axis(rep(cl_c), loc_ids, axis=-1)
+            if k_cl > k_c:
+                pad = ((0, 0), (0, k_cl - k_c))
+                cl_ids = jnp.pad(cl_ids, pad)
+                cl_valid = jnp.pad(cl_valid, pad)
+        else:
+            keys = jax.vmap(
+                lambda ax, ch: tiling.cone_cull_keys(
+                    origin, ax, ch, state.cull_centers, state.cull_radii
+                )
+            )(axis, cos_half)
+            cl_ids, cl_valid = tiling.shortlist(keys, k_cl)
+        if not use_fused:
             ids, valid = clusters.expand_cluster_ids(cl_ids, cl_valid, cs)
             s = ids.shape[1]
-        if resort:
+        if resort and not use_fused:
             # refine to per-primitive view depth ([T, S] sort)
             depth = jnp.einsum("tsi,ti->ts", work.centers[ids] - origin, axis)
             depth = jnp.where(valid, depth, jnp.inf)
@@ -384,6 +439,11 @@ def _render_tiles(
             ids = jnp.take_along_axis(ids, order, axis=-1)
             valid = jnp.take_along_axis(valid, order, axis=-1)
     else:
+        keys = jax.vmap(
+            lambda ax, ch: tiling.cone_cull_keys(
+                origin, ax, ch, state.cull_centers, state.cull_radii
+            )
+        )(axis, cos_half)
         ids, valid = tiling.shortlist(keys, s)
 
     # ---- per-sample rendering --------------------------------------------
@@ -393,64 +453,109 @@ def _render_tiles(
     if use_fused:
         from ..pallas_kernels import composite3
 
-        # pad the cluster shortlist so S = K * cs is a segment multiple
-        seg = min(cfg.segment, k_cl * cs)
-        per_seg = max(1, seg // cs)
-        if k_cl % per_seg:
-            pad_k = per_seg - k_cl % per_seg
-            cl_ids = jnp.pad(cl_ids, ((0, 0), (0, pad_k)))
-            cl_valid = jnp.pad(cl_valid, ((0, 0), (0, pad_k)))
-            k_cl += pad_k
-        s = k_cl * cs
         ncl = work.num_prims // cs
-        # live segments per tile (valid clusters sort first in the shortlist)
-        n_valid = jnp.sum(cl_valid, axis=-1)
-        n_seg_t = -(-n_valid // per_seg)
-        # cluster-blocked gathers: contiguous [cs, F] slices instead of
-        # per-row gathers — the rows of invalid clusters become neutral
         ptab = composite3.pack_fused_features(work, origin)  # [N, 16]
-        pf_t = jnp.take(
-            ptab.reshape(ncl, cs, 16), cl_ids.reshape(-1), axis=0,
-            mode="clip",
-        ).reshape(n_tiles, k_cl, cs, 16)
-        pf_t = jnp.where(
-            cl_valid[..., None, None], pf_t, composite3.neutral_fused_row()
-        ).reshape(n_tiles, s, 16)
-        sh_t = jnp.take(
-            state.sh48.reshape(ncl, cs, 48), cl_ids.reshape(-1), axis=0,
-            mode="clip",
-        ).reshape(n_tiles, k_cl * cs, 48)
 
-        def render_sample_fused(i):
-            off = _tile_offsets(base_key, i, tile_ids, rt, jitter)
-            d = dirs_from(px0 + off[..., 0], py0 + off[..., 1])  # [T, RT, 3]
-            d8 = jnp.concatenate(
-                [d, jnp.zeros(d.shape[:-1] + (5,), d.dtype)], axis=-1
-            )
-            l, beta = composite3.composite_tiles3(
-                d8, pf_t, sh_t, n_seg_t,
-                seg=seg,
-                extent2=state.extent**2,
-                max_depth=cfg.max_depth if cfg.max_depth > 0 else 10**6,
-                beta_kill=cfg.beta_kill,
-                degree=sh.degree_from_coeffs(basis_k),
-                sh_k=basis_k,
-                early_exit=cfg.early_exit,
-                interpret=jax.default_backend() != "tpu",
-            )
-            if emitter is not None:
-                l = l + beta[..., None] * emitter.eval(d)
-            if cfg.srgb_primitives:
-                l = srgb_to_linear(l)
-            return l
+        def fused_block(cl_i, cl_v, k_here, px_b, py_b, tid_b, ax_b):
+            """Pad/gather/composite a tile block. Returns (sum-of-samples
+            [Tb, RT, 3], sample-0 beta [Tb, RT])."""
+            tb = px_b.shape[0]
+            seg = min(cfg.segment, k_here * cs)
+            per_seg = max(1, seg // cs)
+            if k_here % per_seg:
+                pad_k = per_seg - k_here % per_seg
+                cl_i = jnp.pad(cl_i, ((0, 0), (0, pad_k)))
+                cl_v = jnp.pad(cl_v, ((0, 0), (0, pad_k)))
+                k_here += pad_k
+            s_here = k_here * cs
+            # live segments per tile (valid clusters sort first)
+            n_seg_t = -(-jnp.sum(cl_v, axis=-1) // per_seg)
+            # cluster-blocked gathers: contiguous [cs, F] slices instead of
+            # per-row gathers — invalid clusters' rows become neutral
+            pf_t = jnp.take(
+                ptab.reshape(ncl, cs, 16), cl_i.reshape(-1), axis=0,
+                mode="clip",
+            ).reshape(tb, k_here, cs, 16)
+            pf_t = jnp.where(
+                cl_v[..., None, None], pf_t, composite3.neutral_fused_row()
+            ).reshape(tb, s_here, 16)
+            sh_t = jnp.take(
+                state.sh48.reshape(ncl, cs, 48), cl_i.reshape(-1), axis=0,
+                mode="clip",
+            ).reshape(tb, s_here, 48)
+            if resort:
+                # exact per-primitive view depth from the packed rows
+                # (w = o - c lives at columns 9:12 — no extra gathers); the
+                # tile axis approximates every ray's direction
+                depth = -(
+                    pf_t[:, :, 9] * ax_b[:, 0:1]
+                    + pf_t[:, :, 10] * ax_b[:, 1:2]
+                    + pf_t[:, :, 11] * ax_b[:, 2:3]
+                )
+                valid_row = jnp.repeat(cl_v, cs, axis=-1)
+                depth = jnp.where(valid_row, depth, jnp.inf)
+                order = jnp.argsort(depth, axis=-1)
+                pf_t = jnp.take_along_axis(pf_t, order[..., None], axis=1)
+                sh_t = jnp.take_along_axis(sh_t, order[..., None], axis=1)
 
-        def body_fused(acc, i):
-            return acc + render_sample_fused(i), None
+            def sample(i):
+                off = _tile_offsets(base_key, i, tid_b, rt, jitter)
+                d = dirs_from(px_b + off[..., 0], py_b + off[..., 1])
+                d8 = jnp.concatenate(
+                    [d, jnp.zeros(d.shape[:-1] + (5,), d.dtype)], axis=-1
+                )
+                l, beta = composite3.composite_tiles3(
+                    d8, pf_t, sh_t, n_seg_t,
+                    seg=seg,
+                    extent2=state.extent**2,
+                    max_depth=cfg.max_depth if cfg.max_depth > 0 else 10**6,
+                    beta_kill=cfg.beta_kill,
+                    degree=sh.degree_from_coeffs(basis_k),
+                    sh_k=basis_k,
+                    early_exit=cfg.early_exit,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                if emitter is not None:
+                    l = l + beta[..., None] * emitter.eval(d)
+                if cfg.srgb_primitives:
+                    l = srgb_to_linear(l)
+                return l, beta
 
-        acc, _ = jax.lax.scan(
-            body_fused, jnp.zeros((n_tiles, rt, 3), jnp.float32),
-            jnp.arange(spp),
+            acc0, beta0 = sample(0)
+
+            def body(a, i):
+                return a + sample(i)[0], None
+
+            acc_b, _ = jax.lax.scan(body, acc0, jnp.arange(1, spp))
+            return acc_b, beta0
+
+        n_valid0 = jnp.sum(cl_valid, axis=-1)
+        acc, beta0 = fused_block(
+            cl_ids, cl_valid, k_cl, px0, py0, tile_ids, axis
         )
+
+        if cfg.refine_fraction > 0.0:
+            # Residual-driven refinement: tiles whose cluster list was FULL
+            # and whose rays still carried transmittance at its end are
+            # truncation suspects; re-render the worst refine_fraction of
+            # them with a refine_factor-times-larger shortlist.
+            m = max(1, int(round(n_tiles * cfg.refine_fraction)))
+            trunc = jnp.sum(beta0 > cfg.beta_kill, axis=1)
+            score = jnp.where(n_valid0 >= k_cl, trunc, 0)
+            score_sel, sel_t = jax.lax.top_k(score, m)
+            k2 = min(cfg.refine_factor * k_cl, state.cull_centers.shape[0])
+            keys_r = jax.vmap(
+                lambda ax, ch: tiling.cone_cull_keys(
+                    origin, ax, ch, state.cull_centers, state.cull_radii
+                )
+            )(axis[sel_t], cos_half[sel_t])
+            cl_ids_r, cl_valid_r = tiling.shortlist(keys_r, k2)
+            acc_r, _ = fused_block(
+                cl_ids_r, cl_valid_r, k2,
+                px0[sel_t], py0[sel_t], tile_ids[sel_t], axis[sel_t],
+            )
+            use_r = (score_sel > 0)[:, None, None]
+            acc = acc.at[sel_t].set(jnp.where(use_r, acc_r, acc[sel_t]))
         return acc / spp
 
     # The compositors consume the shortlist in fixed-width segments; pad the
