@@ -77,13 +77,15 @@ class PRBConfig:
     #                            chunks entirely (lax.cond). 0 disables.
     # Per-ray Morton-cluster culling for interval collection: candidates
     # come from the nearest intersected clusters instead of scanning every
-    # primitive. Default on since round 2: intervals are collected ONCE per
-    # bounce (budget = collect_budget) and windows select from the
-    # precollected, entry-sorted set — which removes both the per-window
-    # full-primitive scans and the round-1 tied-entry-key stall (selection
-    # is by raw-entry rank, and window ends are forced strictly past the
-    # window start; see _window_from_collected).
-    use_clusters: bool = True
+    # primitive. The round-1 tied-entry-key stall is fixed (collection
+    # happens ONCE per bounce and windows select by raw-entry rank with
+    # guaranteed progress; see _window_from_collected) and the path is
+    # exact up to the collection budget — but it is OFF by default on
+    # measured grounds: TPU per-element gathers cost ~5 ns/element, so the
+    # gather-based candidate evaluation loses to the regular chunked scan
+    # (_gather_intervals) up to ~1M primitives (345 ms vs 35 ms per bounce
+    # at 16k rays on smoke). Enable for multi-million-primitive media.
+    use_clusters: bool = False
     cluster_size: int = 32
     cluster_candidates: int = 0  # clusters collected per ray per bounce;
     #                              0 = auto (sized to cover collect_budget)

@@ -110,6 +110,7 @@ class RFTiledState:
     feats16: jnp.ndarray  # [N, 16] quadric features (10 used)
     opac: jnp.ndarray  # [N]
     sh48: jnp.ndarray  # [N, 48] channel-major SH blocks of 16
+    sh48h: jnp.ndarray  # [N, 48] bf16 copy (fused-path gathers + kernel DMA)
     extent: float = dataclasses.field(default=3.0, metadata=dict(static=True))
     clustered: bool = dataclasses.field(default=True, metadata=dict(static=True))
     cluster_size: int = dataclasses.field(default=64, metadata=dict(static=True))
@@ -150,6 +151,7 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
         feats16=feats16,
         opac=work.attrs["opacities"][:, 0],
         sh48=sh48,
+        sh48h=sh48.astype(jnp.bfloat16),
         extent=float(primitives.extent),
         clustered=cfg.use_clusters,
         cluster_size=cfg.cluster_size,
@@ -480,7 +482,7 @@ def _render_tiles(
                 cl_v[..., None, None], pf_t, composite3.neutral_fused_row()
             ).reshape(tb, s_here, 16)
             sh_t = jnp.take(
-                state.sh48.reshape(ncl, cs, 48), cl_i.reshape(-1), axis=0,
+                state.sh48h.reshape(ncl, cs, 48), cl_i.reshape(-1), axis=0,
                 mode="clip",
             ).reshape(tb, s_here, 48)
             if resort:

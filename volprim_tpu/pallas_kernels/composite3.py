@@ -172,10 +172,11 @@ def _fwd3_kernel(
         w_ = jnp.where(lw > log_kill, jnp.exp(lw) * alpha, 0.0)
 
         acc = []
+        basis_h = basis.astype(sh_ref.dtype)
         for ch in range(3):
-            sh_ch = sh_ref[0, sl, pl.ds(ch * 16, 16)]  # [C, 16]
+            sh_ch = sh_ref[0, sl, pl.ds(ch * 16, 16)]  # [C, 16] (maybe bf16)
             e_ch = jax.lax.dot_general(
-                basis, sh_ch, _DN_T, preferred_element_type=f32
+                basis_h, sh_ch, _DN_T, preferred_element_type=f32
             )
             e_ch = jnp.maximum(e_ch + 0.5, 0.0)
             acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
@@ -223,7 +224,8 @@ def _fwd3_kernel(
 def composite_tiles3(
     d8: jnp.ndarray,  # [T, RT, 8] ray directions (xyz + pad)
     pf: jnp.ndarray,  # [T, S, 16] fused per-prim rows (pack_fused_features)
-    sh3: jnp.ndarray,  # [T, S, 48]
+    sh3: jnp.ndarray,  # [T, S, 48] (f32 or bf16 — emission GEMM runs in the
+    #                    table dtype with f32 accumulation)
     n_seg_t: jnp.ndarray = None,  # [T] int32 live segments per tile (None =
     #                               all; pad slots beyond must be neutral)
     seg: int = 256,
