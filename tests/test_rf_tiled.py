@@ -297,3 +297,52 @@ def test_refinement_recovers_truncated_tiles():
         None, spp=1, seed=0, jitter=False,
     ))
     np.testing.assert_allclose(full, big, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gradients_match_xla():
+    """composite3's custom-VJP backward (closest-approach q adjoints,
+    transposed layout) vs XLA autodiff on the same cluster-order pipeline."""
+    s = surface_scene(800, seed=5)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=48, srgb_primitives=False,
+        tile_pixels=256, max_candidates=256, segment=64, tile_group=2,
+        use_clusters=True, cluster_size=32,
+    )
+    target = jnp.zeros((32, 32, 3))
+
+    def loss(params, bk):
+        s2 = scene.EllipsoidScene(
+            params["centers"], s.scales, s.quats,
+            {**s.attrs, "opacities": params["opacities"],
+             "sh_coeffs": params["sh_coeffs"]},
+            s.extent,
+        )
+        cfg = rf_tiled.RFTiledConfig(
+            backend=bk, prim_resort=False, **kw
+        )
+        img = rf_tiled.render(s2, cam, cfg, None, spp=1, seed=0, jitter=False)
+        return jnp.mean((img - target) ** 2)
+
+    params = {
+        "centers": s.centers,
+        "opacities": s.attrs["opacities"],
+        "sh_coeffs": s.attrs["sh_coeffs"],
+    }
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_f = jax.grad(lambda p: loss(p, "fused"))(params)
+    # the closest-approach q evaluates hit/clamp masks with different f32
+    # rounding than the xla path's c - b^2/a, so a handful of elements sit
+    # on flipped boundary masks (same class as the pallas2 tolerance)
+    for k in params:
+        a, b = np.asarray(g_xla[k]), np.asarray(g_f[k])
+        assert np.isfinite(b).all(), k
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=8e-3,
+            err_msg=f"gradient mismatch for {k}",
+        )

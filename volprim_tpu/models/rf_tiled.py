@@ -362,19 +362,30 @@ def _render_tiles(
     ppx = jnp.float32(ppx_f)
     ppy = jnp.float32(ppy_f)
 
-    def dirs_from(px, py):
-        dl = jnp.stack(
-            [-(px - ppx) / focal, -(py - ppy) / focal, jnp.ones_like(px)],
-            axis=-1,
-        )
-        dd = dl @ rot.T
-        return dd / jnp.linalg.norm(dd, axis=-1, keepdims=True)
+    def dirs_cols(px, py):
+        """Normalized ray directions as three [T, RT] component arrays —
+        a [T, RT, 3] array is lane-padded 42x by the TPU layout."""
+        dlx = -(px - ppx) / focal
+        dly = -(py - ppy) / focal
+        ddx = rot[0, 0] * dlx + rot[0, 1] * dly + rot[0, 2]
+        ddy = rot[1, 0] * dlx + rot[1, 1] * dly + rot[1, 2]
+        ddz = rot[2, 0] * dlx + rot[2, 1] * dly + rot[2, 2]
+        inv = 1.0 / jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+        return ddx * inv, ddy * inv, ddz * inv
 
-    # ---- per-frame culling ------------------------------------------------
-    d_centers = dirs_from(px0 + 0.5, py0 + 0.5)  # [T, RT, 3]
-    axis = d_centers.mean(axis=1)
-    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
-    cos_half = jnp.min(jnp.einsum("tri,ti->tr", d_centers, axis), axis=1)
+    def dirs_from(px, py):
+        dnx, dny, dnz = dirs_cols(px, py)
+        return jnp.stack([dnx, dny, dnz], axis=-1)
+
+    # ---- per-frame culling (componentwise: no [T, RT, 3] temporaries) -----
+    dnx, dny, dnz = dirs_cols(px0 + 0.5, py0 + 0.5)
+    ax = jnp.stack(
+        [dnx.mean(axis=1), dny.mean(axis=1), dnz.mean(axis=1)], axis=-1
+    )
+    axis = ax / jnp.linalg.norm(ax, axis=-1, keepdims=True)
+    cos_half = jnp.min(
+        dnx * axis[:, 0:1] + dny * axis[:, 1:2] + dnz * axis[:, 2:3], axis=1
+    )
     half = jnp.arccos(jnp.clip(cos_half, -1.0, 1.0)) + 1.5 / focal
     cos_half = jnp.cos(half)
 
@@ -474,50 +485,60 @@ def _render_tiles(
             n_seg_t = -(-jnp.sum(cl_v, axis=-1) // per_seg)
             # cluster-blocked gathers: contiguous [cs, F] slices instead of
             # per-row gathers — invalid clusters' rows become neutral
-            pf_t = jnp.take(
-                ptab.reshape(ncl, cs, 16), cl_i.reshape(-1), axis=0,
-                mode="clip",
-            ).reshape(tb, k_here, cs, 16)
-            pf_t = jnp.where(
-                cl_v[..., None, None], pf_t, composite3.neutral_fused_row()
-            ).reshape(tb, s_here, 16)
+            # transposed per-component gathers: a gathered [T, S, 16] is
+            # lane-padded 8x by the TPU layout; sixteen [T, S] component
+            # planes stack into the kernel's native [T, 16, S] block
+            neutral = composite3.neutral_fused_row()
+            valid_row = jnp.repeat(cl_v, cs, axis=-1)  # [Tb, S]
+            planes = []
+            for c in range(16):
+                col = jnp.take(
+                    ptab[:, c].reshape(ncl, cs), cl_i.reshape(-1), axis=0,
+                    mode="clip",
+                ).reshape(tb, s_here)
+                planes.append(jnp.where(valid_row, col, neutral[c]))
+            pf_t = jnp.stack(planes, axis=1)  # [Tb, 16, S]
             sh_t = jnp.take(
                 state.sh48h.reshape(ncl, cs, 48), cl_i.reshape(-1), axis=0,
                 mode="clip",
             ).reshape(tb, s_here, 48)
             if resort:
                 # exact per-primitive view depth from the packed rows
-                # (w = o - c lives at columns 9:12 — no extra gathers); the
+                # (w = o - c lives at rows 9:12 — no extra gathers); the
                 # tile axis approximates every ray's direction
                 depth = -(
-                    pf_t[:, :, 9] * ax_b[:, 0:1]
-                    + pf_t[:, :, 10] * ax_b[:, 1:2]
-                    + pf_t[:, :, 11] * ax_b[:, 2:3]
+                    pf_t[:, 9] * ax_b[:, 0:1]
+                    + pf_t[:, 10] * ax_b[:, 1:2]
+                    + pf_t[:, 11] * ax_b[:, 2:3]
                 )
-                valid_row = jnp.repeat(cl_v, cs, axis=-1)
                 depth = jnp.where(valid_row, depth, jnp.inf)
                 order = jnp.argsort(depth, axis=-1)
-                pf_t = jnp.take_along_axis(pf_t, order[..., None], axis=1)
+                pf_t = jnp.take_along_axis(pf_t, order[:, None, :], axis=2)
                 sh_t = jnp.take_along_axis(sh_t, order[..., None], axis=1)
 
             def sample(i):
                 off = _tile_offsets(base_key, i, tid_b, rt, jitter)
-                d = dirs_from(px_b + off[..., 0], py_b + off[..., 1])
-                d8 = jnp.concatenate(
-                    [d, jnp.zeros(d.shape[:-1] + (5,), d.dtype)], axis=-1
+                dnx, dny, dnz = dirs_cols(
+                    px_b + off[..., 0], py_b + off[..., 1]
                 )
-                l, beta = composite3.composite_tiles3(
+                zrow = jnp.zeros_like(dnx)
+                d8 = jnp.stack(
+                    [dnx, dny, dnz, zrow, zrow, zrow, zrow, zrow], axis=1
+                )  # [Tb, 8, RT]
+                l, beta = composite3.composite_tiles3_ad(
                     d8, pf_t, sh_t, n_seg_t,
-                    seg=seg,
-                    extent2=state.extent**2,
-                    max_depth=cfg.max_depth if cfg.max_depth > 0 else 10**6,
-                    beta_kill=cfg.beta_kill,
-                    degree=sh.degree_from_coeffs(basis_k),
-                    sh_k=basis_k,
-                    early_exit=cfg.early_exit,
-                    interpret=jax.default_backend() != "tpu",
+                    seg,
+                    state.extent**2,
+                    cfg.max_depth if cfg.max_depth > 0 else 10**6,
+                    cfg.beta_kill,
+                    sh.degree_from_coeffs(basis_k),
+                    basis_k,
+                    cfg.early_exit,
+                    True,
+                    jax.default_backend() != "tpu",
                 )
                 if emitter is not None:
+                    d = jnp.stack([dnx, dny, dnz], axis=-1)
                     l = l + beta[..., None] * emitter.eval(d)
                 if cfg.srgb_primitives:
                     l = srgb_to_linear(l)

@@ -108,33 +108,82 @@ def neutral_fused_row() -> jnp.ndarray:
     return jnp.asarray(row)
 
 
+def _ray_blocks_t(d_ref, degree):
+    """_ray_blocks for the transposed direction block [1, 8, RT]: component
+    rows live on the lane axis (no [RT, 8] padding in HBM); transposed to
+    [RT, 1] columns once per tile."""
+    dx = jnp.transpose(d_ref[0, 0:1, :])  # [RT, 1]
+    dy = jnp.transpose(d_ref[0, 1:2, :])
+    dz = jnp.transpose(d_ref[0, 2:3, :])
+    f6 = jnp.concatenate(
+        [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz], axis=1
+    )
+    d3 = jnp.concatenate([dx, dy, dz], axis=1)
+    from .composite2 import _C0, _C1, _C2, _C3
+
+    cols = [jnp.full_like(dx, _C0)]
+    if degree >= 1:
+        cols += [-_C1 * dy, _C1 * dz, -_C1 * dx]
+    if degree >= 2:
+        xx, yy, zz = dx * dx, dy * dy, dz * dz
+        cols += [
+            _C2[0] * dx * dy, _C2[1] * dy * dz,
+            _C2[2] * (2.0 * zz - xx - yy),
+            _C2[3] * dx * dz, _C2[4] * (xx - yy),
+        ]
+    if degree >= 3:
+        xx, yy, zz = dx * dx, dy * dy, dz * dz
+        cols += [
+            _C3[0] * dy * (3.0 * xx - yy),
+            _C3[1] * dx * dy * dz,
+            _C3[2] * dy * (4.0 * zz - xx - yy),
+            _C3[3] * dz * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            _C3[4] * dx * (4.0 * zz - xx - yy),
+            _C3[5] * dz * (xx - yy),
+            _C3[6] * dx * (xx - 3.0 * yy),
+        ]
+    if len(cols) < 16:
+        cols.append(jnp.zeros((dx.shape[0], 16 - len(cols)), dx.dtype))
+    basis = jnp.concatenate(cols, axis=1)
+    return f6, d3, basis
+
+
+# [RT, K] x [K, C] -> [RT, C] (plain matmul on the transposed tables)
+_DN_N = (((1,), (0,)), ((), ()))
+
+
+def _dot3_n(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """bf16x3 emulated-f32 matmul [RT, K] x [K, C] (see _dot3_t)."""
+    f32 = jnp.float32
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(f32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(xh, wh, _DN_N, preferred_element_type=f32)
+    out = out + jax.lax.dot_general(xh, wl, _DN_N, preferred_element_type=f32)
+    out = out + jax.lax.dot_general(xl, wh, _DN_N, preferred_element_type=f32)
+    return out
+
+
 def _fwd3_kernel(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
     stable_q=True,
 ):
-    rt = d_ref.shape[1]
+    rt = d_ref.shape[2]
     f32 = jnp.float32
     hp = jax.lax.Precision.HIGHEST
     log_kill = jnp.log(jnp.float32(beta_kill))
     ut = ut_ref[:]
-    f6, d3, basis = _ray_blocks(d_ref, degree)
+    f6, d3, basis = _ray_blocks_t(d_ref, degree)
     dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
-    # identity used to transpose pf rows on the MXU (HIGHEST = exact f32)
-    eye16 = jax.lax.broadcasted_iota(jnp.int32, (_FEAT, _FEAT), 0) == \
-        jax.lax.broadcasted_iota(jnp.int32, (_FEAT, _FEAT), 1)
-    eye16 = eye16.astype(f32)
 
     def seg_body(si, carry):
         log_beta, lr, lg, lb_, count = carry
         sl = pl.ds(si * seg, seg)
-        pf = pf_ref[0, sl, :]  # [C, 16]
-        a = _dot3_t(f6, pf[:, 0:6])  # d^T M d
-        b = _dot3_t(d3, pf[:, 6:9])  # d^T M w
-        # per-primitive broadcast rows via an exact MXU transpose
-        pfT = jax.lax.dot_general(
-            eye16, pf, _DN_T, precision=hp, preferred_element_type=f32
-        )  # [16, C]
+        pfT = pf_ref[0, :, sl]  # [16, C] — native transposed layout
+        a = _dot3_n(f6, pfT[0:6, :])  # d^T M d
+        b = _dot3_n(d3, pfT[6:9, :])  # d^T M w
         opac = pfT[12:13, :]
 
         t_peak = -b / a
@@ -222,8 +271,10 @@ def _fwd3_kernel(
     ),
 )
 def composite_tiles3(
-    d8: jnp.ndarray,  # [T, RT, 8] ray directions (xyz + pad)
-    pf: jnp.ndarray,  # [T, S, 16] fused per-prim rows (pack_fused_features)
+    d8: jnp.ndarray,  # [T, 8, RT] ray direction rows (x, y, z, 5 pad rows)
+    pf: jnp.ndarray,  # [T, 16, S] fused per-prim COLUMNS (transposed
+    #                    pack_fused_features rows: [*, 16] arrays are
+    #                    lane-padded 8x by the TPU layout)
     sh3: jnp.ndarray,  # [T, S, 48] (f32 or bf16 — emission GEMM runs in the
     #                    table dtype with f32 accumulation)
     n_seg_t: jnp.ndarray = None,  # [T] int32 live segments per tile (None =
@@ -239,8 +290,230 @@ def composite_tiles3(
     interpret: bool = False,
 ):
     """Fused forward compositor. Returns (L [T, RT, 3], beta [T, RT])."""
-    t, rt, _ = d8.shape
-    s = pf.shape[1]
+    return _forward3(
+        d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
+        degree, sh_k, early_exit, stable_q, interpret,
+    )
+
+
+# [RT, C] x [RT, K] -> [C, K]
+_DN_TT = (((0,), (0,)), ((), ()))
+# [K1, C] x [K1, K2] -> [C, K2]  (transpose via contraction on dim 0)
+_DN_T0 = (((0,), (0,)), ((), ()))
+
+
+def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
+    """Shared forward pair math (recomputed by the backward sweep).
+
+    pfT [16, C] — the native transposed block. Returns (a, b, t_peak,
+    p (3-tuple or None), q_raw, q_min, hit, opac, pfT)."""
+    a = _dot3_n(f6, pfT[0:6, :])
+    b = _dot3_n(d3, pfT[6:9, :])
+    opac = pfT[12:13, :]
+    t_peak = -b / a
+    if stable_q:
+        m11, m22, m33 = pfT[0:1, :], pfT[1:2, :], pfT[2:3, :]
+        m12_2, m13_2, m23_2 = pfT[3:4, :], pfT[4:5, :], pfT[5:6, :]
+        wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
+        px = wx + t_peak * dx
+        py = wy + t_peak * dy
+        pz = wz + t_peak * dz
+        q_raw = (
+            m11 * px * px + m22 * py * py + m33 * pz * pz
+            + m12_2 * px * py + m13_2 * px * pz + m23_2 * py * pz
+        )
+        p = (px, py, pz)
+    else:
+        q_raw = pfT[13:14, :] + t_peak * b
+        p = None
+    q_min = jnp.maximum(q_raw, 0.0)
+    disc = (extent2 - q_min) / a
+    t_near = t_peak - jnp.sqrt(jnp.maximum(disc, 0.0))
+    hit = (disc >= 0.0) & (t_near > 0.0)
+    return a, b, t_peak, p, q_raw, q_min, hit, opac, pfT
+
+
+def _bwd3_kernel(
+    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
+    gpf_ref, gsh_ref, lb_scratch, cnt_scratch,
+    *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
+):
+    """Two-sweep backward for the fused compositor: a forward sweep stores
+    the per-segment (log_beta, count) carries, then a reverse sweep
+    recomputes each segment and accumulates the adjoints of the packed
+    primitive rows (m6, u, w, opac) and the SH table. Mirrors
+    composite2._bwd_kernel with the closest-approach q adjoints."""
+    rt = d_ref.shape[2]
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    log_kill = jnp.log(jnp.float32(beta_kill))
+    ut = ut_ref[:]
+    f6, d3, basis = _ray_blocks_t(d_ref, degree)
+    dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
+    basis_h = basis.astype(sh_ref.dtype)
+
+    gpf_ref[0] = jnp.zeros_like(gpf_ref[0])
+    gsh_ref[0] = jnp.zeros_like(gsh_ref[0])
+
+    n_seg_t = jnp.minimum(nseg_ref[pl.program_id(0), 0], n_seg)
+
+    def common(si):
+        sl = pl.ds(si * seg, seg)
+        pfT = pf_ref[0, :, sl]  # [16, C]
+        a, b, t_peak, p, q_raw, q_min, hit, opac, pfT = _fwd3_core(
+            pfT, f6, d3, dx, dy, dz, extent2, stable_q
+        )
+        dens = jnp.exp(-0.5 * q_min)
+        raw = opac * dens
+        alpha0 = jnp.where(hit, jnp.minimum(raw, 0.9999), 0.0)
+        return sl, a, b, t_peak, p, q_raw, hit, opac, dens, raw, alpha0, pfT
+
+    def fwd_body(si, carry):
+        log_beta, count = carry
+        lb_scratch[si] = log_beta[:, 0]
+        cnt_scratch[si] = count[:, 0]
+        _, _, _, _, _, _, _, _, _, _, alpha0, _ = common(si)
+        hitf = jnp.where(alpha0 > 0.0, 1.0, 0.0)
+        cum_hits = count + jnp.dot(hitf, ut, preferred_element_type=f32)
+        alpha = jnp.where(cum_hits <= max_depth, alpha0, 0.0)
+        logt = jnp.log1p(-alpha)
+        lt_hi = logt.astype(jnp.bfloat16).astype(f32)
+        cs_incl = jnp.dot(lt_hi, ut, preferred_element_type=f32) + jnp.dot(
+            logt - lt_hi, ut, preferred_element_type=f32
+        )
+        return (log_beta + cs_incl[:, seg - 1:seg], cum_hits[:, seg - 1:seg])
+
+    zeros = jnp.zeros((rt, 1), f32)
+    log_beta_fin, _ = jax.lax.fori_loop(0, n_seg_t, fwd_body, (zeros, zeros))
+
+    g_l = gl_ref[0]  # [RT, 3]
+    g_lb_init = gbeta_ref[0, 0:1, :].T * jnp.exp(log_beta_fin)
+
+    def bwd_body(k, g_lb_next):
+        si = n_seg_t - 1 - k
+        (sl, a, b, t_peak, p, q_raw, hit, opac, dens, raw, alpha0,
+         pfT) = common(si)
+        log_beta = lb_scratch[si][:, None]
+        count = cnt_scratch[si][:, None]
+
+        hitf = jnp.where(alpha0 > 0.0, 1.0, 0.0)
+        cum_hits = count + jnp.dot(hitf, ut, preferred_element_type=f32)
+        depth_ok = cum_hits <= max_depth
+        alpha = jnp.where(depth_ok, alpha0, 0.0)
+        logt = jnp.log1p(-alpha)
+        lt_hi = logt.astype(jnp.bfloat16).astype(f32)
+        cs_incl = jnp.dot(lt_hi, ut, preferred_element_type=f32) + jnp.dot(
+            logt - lt_hi, ut, preferred_element_type=f32
+        )
+        cs_excl = cs_incl - logt
+        lw = log_beta + cs_excl
+        alive = lw > log_kill
+        exp_lw = jnp.exp(lw)
+        w_ = jnp.where(alive, exp_lw * alpha, 0.0)
+
+        g_w = jnp.zeros((rt, seg), f32)
+        for ch in range(3):
+            sh_ch = sh_ref[0, sl, pl.ds(ch * 16, 16)]
+            e_raw = jax.lax.dot_general(
+                basis_h, sh_ch, _DN_T, preferred_element_type=f32
+            ) + 0.5
+            e_ch = jnp.maximum(e_raw, 0.0)
+            g_w = g_w + g_l[:, ch:ch + 1] * e_ch
+            g_e = jnp.where(e_raw > 0.0, g_l[:, ch:ch + 1] * w_, 0.0)
+            g_sh_ch = jax.lax.dot_general(
+                g_e, basis, _DN_TT, precision=hp, preferred_element_type=f32
+            )  # [C, 16]
+            gsh_ref[0, sl, pl.ds(ch * 16, 16)] = (
+                gsh_ref[0, sl, pl.ds(ch * 16, 16)]
+                + g_sh_ch.astype(gsh_ref.dtype)
+            )
+
+        g_lw = g_w * w_
+        g_cs_excl = g_lw
+        g_cs_incl = g_cs_excl + jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (rt, seg), 1) == seg - 1,
+            g_lb_next, 0.0,
+        )
+        g_logt = jax.lax.dot_general(
+            g_cs_incl, ut, (((1,), (1,)), ((), ())),
+            precision=hp, preferred_element_type=f32,
+        ) - g_cs_excl
+        g_alpha = jnp.where(alive, g_w * exp_lw, 0.0) + g_logt * (
+            -1.0 / (1.0 - alpha)
+        )
+        g_alpha = jnp.where(depth_ok & hit, g_alpha, 0.0)
+        g_raw = jnp.where(raw < 0.9999, g_alpha, 0.0)
+        g_opac_row = jnp.sum(g_raw * dens, axis=0, keepdims=True)  # [1, C]
+        g_q = g_raw * opac * dens * (-0.5)
+        g_q = jnp.where(q_raw > 0.0, g_q, 0.0)
+
+        if stable_q:
+            px, py, pz = p
+            m11, m22, m33 = pfT[0:1, :], pfT[1:2, :], pfT[2:3, :]
+            m12_2, m13_2, m23_2 = pfT[3:4, :], pfT[4:5, :], pfT[5:6, :]
+            # q = m11 px^2 + m22 py^2 + m33 pz^2
+            #   + m12_2 px py + m13_2 px pz + m23_2 py pz
+            g_m_rows = jnp.concatenate(
+                [
+                    jnp.sum(g_q * px * px, axis=0, keepdims=True),
+                    jnp.sum(g_q * py * py, axis=0, keepdims=True),
+                    jnp.sum(g_q * pz * pz, axis=0, keepdims=True),
+                    jnp.sum(g_q * px * py, axis=0, keepdims=True),
+                    jnp.sum(g_q * px * pz, axis=0, keepdims=True),
+                    jnp.sum(g_q * py * pz, axis=0, keepdims=True),
+                ],
+                axis=0,
+            )  # [6, C] (the direct dq/dM route)
+            g_px = g_q * (2.0 * m11 * px + m12_2 * py + m13_2 * pz)
+            g_py = g_q * (2.0 * m22 * py + m12_2 * px + m23_2 * pz)
+            g_pz = g_q * (2.0 * m33 * pz + m13_2 * px + m23_2 * py)
+            g_w_rows = jnp.concatenate(
+                [
+                    jnp.sum(g_px, axis=0, keepdims=True),
+                    jnp.sum(g_py, axis=0, keepdims=True),
+                    jnp.sum(g_pz, axis=0, keepdims=True),
+                ],
+                axis=0,
+            )  # [3, C]
+            g_t = g_px * dx + g_py * dy + g_pz * dz
+            g_c0_row = jnp.zeros((1, seg), f32)
+        else:
+            # q = c0 + t_peak * b
+            g_c0_row = jnp.sum(g_q, axis=0, keepdims=True)
+            g_m_rows = jnp.zeros((6, seg), f32)
+            g_w_rows = jnp.zeros((3, seg), f32)
+            g_t = g_q * b
+        # t_peak = -b / a
+        g_b = -g_t / a
+        g_a = g_t * b / (a * a)
+        if not stable_q:
+            g_b = g_b + g_q * t_peak
+        # a = F6 . m6, b = d3 . u  -> [6, C] and [3, C] via MXU
+        g_m_rows = g_m_rows + jax.lax.dot_general(
+            f6, g_a, _DN_T0, precision=hp, preferred_element_type=f32
+        )
+        g_u_rows = jax.lax.dot_general(
+            d3, g_b, _DN_T0, precision=hp, preferred_element_type=f32
+        )  # [3, C]
+        g_rows = jnp.concatenate(
+            [
+                g_m_rows, g_u_rows, g_w_rows, g_opac_row, g_c0_row,
+                jnp.zeros((2, seg), f32),
+            ],
+            axis=0,
+        )  # [16, C] — native output layout, no transpose needed
+        gpf_ref[0, :, sl] = gpf_ref[0, :, sl] + g_rows
+
+        return jnp.sum(g_lw, axis=1, keepdims=True) + g_lb_next
+
+    jax.lax.fori_loop(0, n_seg_t, bwd_body, g_lb_init)
+
+
+def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
+              degree, sh_k, early_exit, stable_q, interpret):
+    t = d8.shape[0]
+    rt = d8.shape[2]
+    s = pf.shape[2]
     assert s % seg == 0
     n_seg = s // seg
     if n_seg_t is None:
@@ -256,11 +529,10 @@ def composite_tiles3(
         grid=(t,),
         in_specs=[
             pl.BlockSpec(
-                (d8.shape[0], 1), lambda i: (0, 0),
-                memory_space=pltpu.SMEM,
+                (t, 1), lambda i: (0, 0), memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, rt, 8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, s, _FEAT), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, _FEAT, s), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, s, 48), lambda i: (i, 0, 0)),
             pl.BlockSpec((seg, seg), lambda i: (0, 0)),
         ],
@@ -275,3 +547,89 @@ def composite_tiles3(
         jnp.triu(jnp.ones((seg, seg), jnp.float32)),
     )
     return out[..., :3], out[..., 3]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def composite_tiles3_ad(
+    d8, pf, sh3, n_seg_t,
+    seg: int, extent2: float, max_depth: int, beta_kill: float,
+    degree: int, sh_k: int, early_exit: bool, stable_q: bool,
+    interpret: bool,
+):
+    """Differentiable fused compositor (forward = composite_tiles3; custom
+    backward kernel). Gradients flow into pf and sh3; d8 / n_seg_t get
+    zeros."""
+    return _forward3(
+        d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
+        degree, sh_k, early_exit, stable_q, interpret,
+    )
+
+
+def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
+               degree, sh_k, early_exit, stable_q, interpret):
+    out = _forward3(
+        d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
+        degree, sh_k, early_exit, stable_q, interpret,
+    )
+    return out, (d8, pf, sh3, n_seg_t)
+
+
+def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
+               stable_q, interpret, res, cts):
+    d8, pf, sh3, n_seg_t = res
+    g_l, g_beta = cts
+    t = d8.shape[0]
+    rt = d8.shape[2]
+    s = pf.shape[2]
+    n_seg = s // seg
+    if n_seg_t is None:
+        n_seg_t = jnp.full((t,), n_seg, jnp.int32)
+    kernel = functools.partial(
+        _bwd3_kernel,
+        n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
+        beta_kill=beta_kill, degree=degree, sh_k=sh_k, stable_q=stable_q,
+    )
+    gpf, gsh = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (t, 1), lambda i: (0, 0), memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, _FEAT, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, 48), lambda i: (i, 0, 0)),
+            pl.BlockSpec((seg, seg), lambda i: (0, 0)),
+            pl.BlockSpec((1, rt, 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _FEAT, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, 48), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, _FEAT, s), jnp.float32),
+            jax.ShapeDtypeStruct((t, s, 48), sh3.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_seg, rt), jnp.float32),
+            pltpu.VMEM((n_seg, rt), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        n_seg_t.astype(jnp.int32).reshape(t, 1), d8, pf, sh3,
+        jnp.triu(jnp.ones((seg, seg), jnp.float32)),
+        g_l, g_beta[:, None, :],
+    )
+    import numpy as _np
+
+    return (
+        jnp.zeros_like(d8), gpf, gsh.astype(sh3.dtype),
+        _np.zeros(n_seg_t.shape, jax.dtypes.float0),
+    )
+
+
+composite_tiles3_ad.defvjp(_fwd3_rule, _bwd3_rule)
