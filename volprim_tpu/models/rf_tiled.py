@@ -467,7 +467,7 @@ def _render_tiles(
         from ..pallas_kernels import composite3
 
         ncl = work.num_prims // cs
-        ptab = composite3.pack_fused_features(work, origin)  # [N, 16]
+        ptab = composite3.pack_fused_features(work, origin)  # [16, N]
 
         def fused_block(cl_i, cl_v, k_here, px_b, py_b, tid_b, ax_b):
             """Pad/gather/composite a tile block. Returns (sum-of-samples
@@ -493,7 +493,7 @@ def _render_tiles(
             planes = []
             for c in range(16):
                 col = jnp.take(
-                    ptab[:, c].reshape(ncl, cs), cl_i.reshape(-1), axis=0,
+                    ptab[c].reshape(ncl, cs), cl_i.reshape(-1), axis=0,
                     mode="clip",
                 ).reshape(tb, s_here)
                 planes.append(jnp.where(valid_row, col, neutral[c]))

@@ -69,33 +69,52 @@ def _dot3_t(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_fused_features(prims, origin: jnp.ndarray) -> jnp.ndarray:
-    """[N, 16] per-frame rows (M6 doubled-off-diag, u = Mw, w = o - c, opac).
+    """[16, N] per-frame COLUMN table (M6 doubled-off-diag, u = Mw,
+    w = o - c, opac, c0).
 
-    Built from local coordinates (like composite2's from-prims packer) so no
-    large intermediate products appear; every entry is either O(M) or O(w)
-    with full relative f32 accuracy.
+    Runs once per frame, so it is written entirely on 1-D [N] columns: any
+    [N, 3]/[N, 3, 3] intermediate is lane-padded up to 42x by the TPU
+    layout and turns this cheap pack into tens of milliseconds. The
+    transposed output is also the natural layout for the per-component
+    cluster gathers and the kernel's [16, S] blocks.
     """
-    from ..ops import quaternion
-
-    rot = quaternion.to_rotation_matrix(prims.quats)  # [N, 3, 3]
-    inv_s = 1.0 / prims.scales
-    w = origin[None, :] - prims.centers  # [N, 3]
-    hp = jax.lax.Precision.HIGHEST
-    w_loc = jnp.einsum("nji,nj->ni", rot, w, precision=hp) * inv_s
-    u = jnp.einsum("nij,nj->ni", rot, w_loc * inv_s, precision=hp)  # M w
-    m = jnp.einsum("nik,nk,njk->nij", rot, inv_s * inv_s, rot, precision=hp)
-    m6 = jnp.stack(
+    q = prims.quats
+    qx, qy, qz, qw = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotation-matrix entries (world <- local), columnwise
+    r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+    r01 = 2.0 * (qx * qy - qz * qw)
+    r02 = 2.0 * (qx * qz + qy * qw)
+    r10 = 2.0 * (qx * qy + qz * qw)
+    r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+    r12 = 2.0 * (qy * qz - qx * qw)
+    r20 = 2.0 * (qx * qz - qy * qw)
+    r21 = 2.0 * (qy * qz + qx * qw)
+    r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+    s0 = 1.0 / jnp.square(prims.scales[:, 0])
+    s1 = 1.0 / jnp.square(prims.scales[:, 1])
+    s2 = 1.0 / jnp.square(prims.scales[:, 2])
+    # M = R diag(s^-2) R^T, entrywise
+    m00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    m11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    m22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    m01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    m02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    m12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    wx = origin[0] - prims.centers[:, 0]
+    wy = origin[1] - prims.centers[:, 1]
+    wz = origin[2] - prims.centers[:, 2]
+    ux = m00 * wx + m01 * wy + m02 * wz
+    uy = m01 * wx + m11 * wy + m12 * wz
+    uz = m02 * wx + m12 * wy + m22 * wz
+    c0 = ux * wx + uy * wy + uz * wz
+    opac = prims.attrs["opacities"][:, 0]
+    zero = jnp.zeros_like(opac)
+    return jnp.stack(
         [
-            m[:, 0, 0], m[:, 1, 1], m[:, 2, 2],
-            2.0 * m[:, 0, 1], 2.0 * m[:, 0, 2], 2.0 * m[:, 1, 2],
+            m00, m11, m22, 2.0 * m01, 2.0 * m02, 2.0 * m12,
+            ux, uy, uz, wx, wy, wz, opac, c0, zero, zero,
         ],
-        axis=-1,
-    )
-    opac = prims.attrs["opacities"][:, 0:1]
-    c0 = jnp.sum(w_loc * w_loc, axis=-1, keepdims=True)  # w^T M w
-    n = prims.num_prims
-    return jnp.concatenate(
-        [m6, u, w, opac, c0, jnp.zeros((n, 2), jnp.float32)], axis=1
+        axis=0,
     )
 
 
