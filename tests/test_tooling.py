@@ -209,3 +209,44 @@ def test_hdr_dataset_layout(tmp_path):
     )
     np.testing.assert_allclose(cols_back["x"], pts[:, 0], rtol=1e-6)
     assert cols_back["red"].max() <= 255
+
+
+def test_fit_sh_on_mesh_diffuse_plane():
+    """Per-vertex Lo SH fit (sh_fitting.py:90-191): a white-ish diffuse
+    plane under a constant unit environment has Lo ~ albedo over the upper
+    hemisphere; the SH reconstruction at the normal direction must recover
+    it."""
+    from volprim_tpu.ops import bsdf as bsdf_ops
+    from volprim_tpu.ops import envmap as em_mod
+    from volprim_tpu.scene import mesh as mesh_mod
+    from volprim_tpu.tooling import sh_fit
+
+    m = mesh_mod.make_rect(
+        [0, 0, 0], [3, 0, 0], [0, 0, -3],
+        attrs={"base_color": [0.8, 0.8, 0.8]},
+    )
+    cache = radiance_cache.RadianceCache(
+        emitter=em_mod.ConstantEmitter(radiance=jnp.ones(3)),
+        mesh=m, bsdf=bsdf_ops.Diffuse(), integrator="prb",
+    )
+    coeffs = sh_fit.fit_sh_on_mesh(cache, m, degree=2, res=9)
+    assert coeffs.shape == (4, 9, 3)
+    from volprim_tpu.ops import bsdf as bsdf_ops
+    from volprim_tpu.ops import sh as sh_ops
+
+    # self-consistency: the SH reconstruction must match directly measured
+    # outgoing radiance at interior upper-hemisphere directions
+    rng = np.random.default_rng(0)
+    dl = rng.normal(size=(8, 3))
+    dl[:, 2] = np.abs(dl[:, 2]) + 1.0  # well inside the hemisphere
+    dl = jnp.asarray(
+        (dl / np.linalg.norm(dl, axis=-1, keepdims=True)).astype(np.float32)
+    )
+    basis = sh_ops.eval_basis(dl, 2)  # [8, 9]
+    recon = np.asarray(basis @ coeffs[0])  # [8, 3]
+    v0 = m.vertices[0]
+    n0 = m.vertex_normals()[0]
+    dw = bsdf_ops.to_world(jnp.broadcast_to(n0, (8, 3)), dl)
+    o = (v0 + n0 * 1e-3)[None, :] + dw * 1e-3
+    direct = np.asarray(cache.query(o, -dw, jax.random.PRNGKey(0)))
+    assert np.abs(recon - direct).mean() < 0.15, (recon, direct)

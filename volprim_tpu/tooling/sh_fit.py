@@ -89,3 +89,48 @@ def fit_sh_batched(fn, points: jnp.ndarray, degree: int = 3, res: int = 15,
         vals = fn(pts, d)  # [P, M, C]
         outs.append(jnp.einsum("m,mk,pmc->pkc", w, basis, vals))
     return jnp.concatenate(outs, axis=0)
+
+
+def fit_sh_on_mesh(
+    cache,
+    mesh,
+    degree: int = 3,
+    res: int = 15,
+    ray_budget: int = 2**20,
+    key=None,
+    offset: float = 1e-3,
+):
+    """Per-vertex SH fit of a mesh's outgoing radiance — the reference's
+    ``fit_sh_on_mesh_batched`` (sh_fitting.py:90-191): for every vertex,
+    outgoing radiance Lo(v, d) is pathtraced from just off the surface back
+    toward the vertex over a spherical quadrature in the shading frame, and
+    projected onto the SH basis. Returns [V, K, 3] coefficients (store as
+    ``vertex_Lo_coeffs`` attributes like the reference).
+    """
+    import jax
+
+    from ..ops import bsdf as bsdf_ops
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    verts = mesh.vertices
+    normals = mesh.vertex_normals()
+
+    def lo_field(pts_idx, d_local):
+        p = verts[pts_idx]
+        n = normals[pts_idx]
+        m = d_local.shape[0]
+        pn = p.shape[0]
+        d_world = bsdf_ops.to_world(
+            n[:, None, :], jnp.broadcast_to(d_local[None], (pn, m, 3))
+        )
+        o = (p + n * offset)[:, None, :] + d_world * offset
+        li = cache.query(
+            o.reshape(-1, 3), (-d_world).reshape(-1, 3), key
+        )
+        return li.reshape(pn, m, 3)
+
+    idx = jnp.arange(verts.shape[0])
+    return fit_sh_batched(
+        lambda pts, d: lo_field(pts, d), idx, degree=degree, res=res,
+        ray_budget=ray_budget,
+    )
