@@ -32,8 +32,12 @@ pdf (prb:165-187). Transmittance along a ray is order-independent
 (exp of a sum of per-primitive segment integrals, prb:303-432), so it is a
 chunked masked reduction like the tomography integrator.
 
-Surfaces/BSDFs (prb:262-282) are not yet supported: the five tracked
-BASELINE configs are primitives + environment only (SURVEY.md §2.3).
+Since round 2, triangle-mesh surfaces with vertex BSDFs are supported
+(prb:262-282): the march is capped at the nearest surface hit, surface
+vertices run BSDF NEE/sampling with MIS, and the radiosity suite builds on
+them (see :func:`radiance` and tests/test_surfaces.py). Interval gathering
+is collected once per bounce, and bounces run on activity-compacted ray
+chunks.
 """
 
 from __future__ import annotations

@@ -16,12 +16,16 @@ architected like a TPU rasterizer instead of a ray marcher:
    ordering approximation — the reference's BVH march gives exact per-ray
    order; PSNR impact is validated in tests/test_rf_tiled.py);
 3. **compositing**: each tile accumulates its shortlist front-to-back —
-   either the fused Pallas kernel (``backend='pallas'``,
-   :mod:`volprim_tpu.pallas_kernels.composite`) or a differentiable XLA
-   pipeline (``backend='xla'``) with identical math.
+   the fused v3 Pallas kernel (``backend='fused'``: transposed blocks,
+   in-kernel ray features, cancellation-free closest-approach q, custom
+   VJP), the v1/v2 kernels, or a differentiable XLA pipeline
+   (``backend='xla'``) with identical math.
 
-This is the renderer bench.py measures; the exact-order integrator remains
-available for parity checks and secondary rays.
+Round-2 additions: two-level culling (``coarse_group``), residual-driven
+tile refinement (``refine_fraction``), tile-axis sharding over a device
+mesh (``render_state(mesh=...)``), and in-block per-primitive depth resort
+for the fused path. This is the renderer bench.py measures; the exact-order
+integrator remains available for parity checks and secondary rays.
 """
 
 from __future__ import annotations
