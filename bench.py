@@ -319,11 +319,12 @@ def main():
     baseline_proxy = 100.0  # Mrays/sec, see module docstring
     details = {
         "rf_mrays": round(mrays, 3),
-        "rf_psnr_vs_exact_db": round(psnr_exact, 2),
         "rf_psnr_vs_2x_shortlist_db": round(psnr2x, 2),
         "stages": stage,
         **prb_stats,
     }
+    if np.isfinite(psnr_exact):  # surface scene only (fog has no golden)
+        details["rf_psnr_vs_exact_db"] = round(psnr_exact, 2)
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=1)

@@ -34,6 +34,11 @@ if os.path.exists(os.path.join(args.asset, "__init__.py")):
 
     ref = asset_interop.load_reference_asset(args.asset)
     prims = ref["primitives"]
+    if prims is None:
+        raise SystemExit(
+            f"{args.asset}: no ellipsoid object found in the asset's "
+            "OBJECTS dictionary — nothing to render"
+        )
     cams = ref["cameras"] or [
         vp.scene.CameraSpecs(
             name="default", width=512, height=512,
@@ -42,8 +47,13 @@ if os.path.exists(os.path.join(args.asset, "__init__.py")):
         )
     ]
     camera = cams[args.cam_index].scaled(args.cam_scale)
+    integ = dict(ref["raw"].get("integrator") or {})
     name = ref["integrator"] or "volprim_tomography"
-    cfg = vp.models.CONFIGS[name]()
+    cfg_cls = vp.models.CONFIGS[name]
+    cfg = cfg_cls(**{
+        k: v for k, v in integ.items()
+        if k in cfg_cls.__dataclass_fields__
+    })
     radiance_fn = vp.models.REGISTRY[name]
     emitter = ref["emitter"]
 else:

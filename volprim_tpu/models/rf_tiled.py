@@ -66,8 +66,9 @@ class RFTiledConfig:
     # (experimental: camera-relative features + in-kernel ray features/SH
     # basis, ~7% faster) or 'fused' (v3: camera-relative + cancellation-free
     # closest-approach q + in-kernel early exit + cluster-blocked gather
-    # without the per-primitive depth resort — the inference/bench path;
-    # forward-only). xla/pallas/pallas2 are differentiable. Caution: pallas2
+    # without the per-primitive depth resort — the inference/bench AND
+    # training path: all four backends are differentiable (v3 via its own
+    # custom-VJP backward kernel). Caution: pallas2
     # precomputes the constant quadric term c0, whose f32 rounding decouples
     # from the ray-side GEMMs — at extreme scale ratios (primitive scales
     # ~1e-3 of the scene) the q_min cancellation amplifies this into visible
@@ -485,8 +486,9 @@ def _render_tiles(
                 cl_v = jnp.pad(cl_v, ((0, 0), (0, pad_k)))
                 k_here += pad_k
             s_here = k_here * cs
-            # live segments per tile (valid clusters sort first)
-            n_seg_t = -(-jnp.sum(cl_v, axis=-1) // per_seg)
+            # live segments per tile (valid clusters sort first); a cluster
+            # wider than a segment spans cs/seg segments
+            n_seg_t = -(-(jnp.sum(cl_v, axis=-1) * cs) // seg)
             # cluster-blocked gathers: contiguous [cs, F] slices instead of
             # per-row gathers — invalid clusters' rows become neutral
             # transposed per-component gathers: a gathered [T, S, 16] is

@@ -23,8 +23,8 @@ v2 was parked:
 3. **Early exit**: the segment walk is a ``while_loop`` that stops once
    every ray in the tile is saturated (max log beta < log beta_kill). On
    dense scenes rays saturate after a handful of hits, so most of the
-   shortlist is never touched. Forward-only (inference); training uses the
-   v1/v2 custom-VJP kernels.
+   shortlist is never touched. Differentiable: composite_tiles3_ad carries
+   a custom-VJP backward kernel (two-sweep, closest-approach q adjoints).
 
 Primitive-side packing (per frame, :func:`pack_fused_features`):
     row = [M11, M22, M33, 2*M12, 2*M13, 2*M23, u(3), w(3), opac, pad(3)]
@@ -184,6 +184,38 @@ def _dot3_n(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
+    """Shared forward pair math (recomputed by the backward sweep).
+
+    pfT [16, C] — the native transposed block. Returns (a, b, t_peak,
+    p (3-tuple or None), q_raw, q_min, hit, opac, pfT)."""
+    a = _dot3_n(f6, pfT[0:6, :])
+    b = _dot3_n(d3, pfT[6:9, :])
+    opac = pfT[12:13, :]
+    t_peak = -b / a
+    if stable_q:
+        m11, m22, m33 = pfT[0:1, :], pfT[1:2, :], pfT[2:3, :]
+        m12_2, m13_2, m23_2 = pfT[3:4, :], pfT[4:5, :], pfT[5:6, :]
+        wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
+        px = wx + t_peak * dx
+        py = wy + t_peak * dy
+        pz = wz + t_peak * dz
+        q_raw = (
+            m11 * px * px + m22 * py * py + m33 * pz * pz
+            + m12_2 * px * py + m13_2 * px * pz + m23_2 * py * pz
+        )
+        p = (px, py, pz)
+    else:
+        q_raw = pfT[13:14, :] + t_peak * b
+        p = None
+    q_min = jnp.maximum(q_raw, 0.0)
+    disc = (extent2 - q_min) / a
+    t_near = t_peak - jnp.sqrt(jnp.maximum(disc, 0.0))
+    hit = (disc >= 0.0) & (t_near > 0.0)
+    return a, b, t_peak, p, q_raw, q_min, hit, opac, pfT
+
+
+
 def _fwd3_kernel(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
@@ -201,29 +233,10 @@ def _fwd3_kernel(
         log_beta, lr, lg, lb_, count = carry
         sl = pl.ds(si * seg, seg)
         pfT = pf_ref[0, :, sl]  # [16, C] — native transposed layout
-        a = _dot3_n(f6, pfT[0:6, :])  # d^T M d
-        b = _dot3_n(d3, pfT[6:9, :])  # d^T M w
-        opac = pfT[12:13, :]
-
-        t_peak = -b / a
-        if stable_q:
-            m11, m22, m33 = pfT[0:1, :], pfT[1:2, :], pfT[2:3, :]
-            m12_2, m13_2, m23_2 = pfT[3:4, :], pfT[4:5, :], pfT[5:6, :]
-            wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
-            px = wx + t_peak * dx
-            py = wy + t_peak * dy
-            pz = wz + t_peak * dz
-            q_min = (
-                m11 * px * px + m22 * py * py + m33 * pz * pz
-                + m12_2 * px * py + m13_2 * px * pz + m23_2 * py * pz
-            )
-        else:
-            q_min = pfT[13:14, :] + t_peak * b
-        q_min = jnp.maximum(q_min, 0.0)
-        disc = (extent2 - q_min) / a
-        t_near = t_peak - jnp.sqrt(jnp.maximum(disc, 0.0))
-        hit = (disc >= 0.0) & (t_near > 0.0)
-
+        # shared pair math: the backward sweep recomputes exactly this
+        _, _, _, _, _, q_min, hit, opac, _ = _fwd3_core(
+            pfT, f6, d3, dx, dy, dz, extent2, stable_q
+        )
         alpha = jnp.minimum(opac * jnp.exp(-0.5 * q_min), 0.9999)
         alpha = jnp.where(hit, alpha, 0.0)
 
@@ -319,37 +332,6 @@ def composite_tiles3(
 _DN_TT = (((0,), (0,)), ((), ()))
 # [K1, C] x [K1, K2] -> [C, K2]  (transpose via contraction on dim 0)
 _DN_T0 = (((0,), (0,)), ((), ()))
-
-
-def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
-    """Shared forward pair math (recomputed by the backward sweep).
-
-    pfT [16, C] — the native transposed block. Returns (a, b, t_peak,
-    p (3-tuple or None), q_raw, q_min, hit, opac, pfT)."""
-    a = _dot3_n(f6, pfT[0:6, :])
-    b = _dot3_n(d3, pfT[6:9, :])
-    opac = pfT[12:13, :]
-    t_peak = -b / a
-    if stable_q:
-        m11, m22, m33 = pfT[0:1, :], pfT[1:2, :], pfT[2:3, :]
-        m12_2, m13_2, m23_2 = pfT[3:4, :], pfT[4:5, :], pfT[5:6, :]
-        wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
-        px = wx + t_peak * dx
-        py = wy + t_peak * dy
-        pz = wz + t_peak * dz
-        q_raw = (
-            m11 * px * px + m22 * py * py + m33 * pz * pz
-            + m12_2 * px * py + m13_2 * px * pz + m23_2 * py * pz
-        )
-        p = (px, py, pz)
-    else:
-        q_raw = pfT[13:14, :] + t_peak * b
-        p = None
-    q_min = jnp.maximum(q_raw, 0.0)
-    disc = (extent2 - q_min) / a
-    t_near = t_peak - jnp.sqrt(jnp.maximum(disc, 0.0))
-    hit = (disc >= 0.0) & (t_near > 0.0)
-    return a, b, t_peak, p, q_raw, q_min, hit, opac, pfT
 
 
 def _bwd3_kernel(

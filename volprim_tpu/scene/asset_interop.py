@@ -178,6 +178,7 @@ def load_reference_asset(path: str, extent: float = 3.0):
     integ = gl.get("INTEGRATOR")
     if isinstance(integ, dict):
         out["integrator"] = integ.get("type")
+        out["raw"]["integrator"] = integ
 
     _, ell = _find_first(
         objects,

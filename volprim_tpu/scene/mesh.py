@@ -69,6 +69,8 @@ class TriangleMesh:
         Returns [R, k]. Mirrors ``mesh.eval_attribute_*`` (vertex_bsdf.py).
         """
         a = self.attrs[name]
+        if a.ndim == 1:  # scalar-per-vertex attributes stored as [V]
+            a = a[:, None]
         f = self.faces[fid]  # [R, 3]
         w = jnp.stack([1.0 - bary[:, 0] - bary[:, 1], bary[:, 0], bary[:, 1]], -1)
         return (
@@ -183,10 +185,50 @@ def occluded(
     d: jnp.ndarray,
     t_max=jnp.inf,
     t_min: float = 1e-4,
+    chunk: int = 512,
 ) -> jnp.ndarray:
-    """Shadow-ray test: any hit with t in (t_min, t_max)."""
-    valid, t, _, _ = intersect(mesh, o, d, t_min=t_min)
-    return valid & (t < t_max)
+    """Shadow-ray test: any hit with t in (t_min, t_max). Any-hit scan (no
+    nearest-hit bookkeeping) — this sits on prb's per-bounce NEE path."""
+    if mesh is None or mesh.num_faces == 0:
+        return jnp.zeros((o.shape[0],), bool)
+    p0, p1, p2 = mesh.corners()
+    f = mesh.num_faces
+    c = min(chunk, f)
+    n_pad = (-f) % c
+    if n_pad:
+        pad = jnp.zeros((n_pad, 3), p0.dtype)
+        p0 = jnp.concatenate([p0, pad])
+        p1 = jnp.concatenate([p1, pad])
+        p2 = jnp.concatenate([p2, pad])
+    n_chunks = p0.shape[0] // c
+    e1 = (p1 - p0).reshape(n_chunks, c, 3)
+    e2 = (p2 - p0).reshape(n_chunks, c, 3)
+    p0c = p0.reshape(n_chunks, c, 3)
+    real = (jnp.arange(n_chunks * c) < f).reshape(n_chunks, c)
+
+    def body(any_hit, inp):
+        e1c, e2c, p0cc, is_real = inp
+        h = jnp.cross(d[:, None, :], e2c[None, :, :])
+        det = jnp.sum(e1c[None] * h, axis=-1)
+        inv = jnp.where(
+            jnp.abs(det) > _EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+        )
+        s = o[:, None, :] - p0cc[None]
+        u = jnp.sum(s * h, axis=-1) * inv
+        q = jnp.cross(s, e1c[None])
+        v = jnp.sum(d[:, None, :] * q, axis=-1) * inv
+        t = jnp.sum(e2c[None] * q, axis=-1) * inv
+        ok = (
+            (jnp.abs(det) > _EPS)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min) & (t < t_max) & is_real[None, :]
+        )
+        return any_hit | jnp.any(ok, axis=-1), None
+
+    any_hit, _ = jax.lax.scan(
+        body, jnp.zeros((o.shape[0],), bool), (e1, e2, p0c, real)
+    )
+    return any_hit
 
 
 def sample_surface(mesh: TriangleMesh, key, n: int):
@@ -200,7 +242,7 @@ def sample_surface(mesh: TriangleMesh, key, n: int):
     total = jnp.sum(areas)
     k1, k2 = jax.random.split(key)
     fid = jax.random.categorical(
-        k1, jnp.log(jnp.maximum(areas, 1e-20))[None, :].repeat(n, 0)
+        k1, jnp.log(jnp.maximum(areas, 1e-20)), shape=(n,)
     ).astype(jnp.int32)
     uv = jax.random.uniform(k2, (n, 2))
     su = jnp.sqrt(uv[:, 0])
