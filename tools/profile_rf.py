@@ -1,0 +1,304 @@
+"""Per-stage timing of the tiled rf frame on the bench workload.
+
+Splits the bench frame (512^2, spp=2, 262k splats, fused backend) into:
+
+  full     the whole render_state frame (bench.py's measurement)
+  nokernel the frame with the Pallas compositor stubbed out (cull + pack +
+           gathers + resort + refine plumbing; the stub keeps data
+           dependencies on pf/sh/d8 so nothing is DCE'd)
+  cull     the per-frame culling alone (two-level cone cull + shortlists)
+  kernel   composite_tiles3 alone over pre-gathered tile blocks
+
+so kernel-vs-pipeline time is attributed the same way VERDICT round 1
+demanded ("a per-stage timing split printed"). Timing follows the axon
+protocol (CLAUDE.md): fetch a scalar, vary the seed each rep, report min.
+
+Usage: python tools/profile_rf.py [--reps 4] [--stages full,nokernel,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402  (bench.py scene builder)
+
+
+def _timeit(fn, seeds, reps):
+    import jax.numpy as jnp
+
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        float(fn(jnp.int32(seeds + i)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.min(ts)), ts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument(
+        "--stages", default="full,nokernel,cull,gather,kernel"
+    )
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tile_pixels", type=int, default=256)
+    ap.add_argument("--max_candidates", type=int, default=2048)
+    ap.add_argument("--cluster_size", type=int, default=16)
+    ap.add_argument("--refine", type=float, default=0.125)
+    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--kernel_batch", type=int, default=1)
+    ap.add_argument("--coarse_group", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import volprim_tpu as vp
+    from volprim_tpu.accel import tiles as tiling
+    from volprim_tpu.models import rf_tiled
+    from volprim_tpu.pallas_kernels import composite3
+
+    stages = args.stages.split(",")
+    scene = bench.make_scene(262144)
+    camera = vp.scene.CameraSpecs(
+        name="bench", width=512, height=512,
+        to_world=vp.scene.look_at([0, 0.4, -3.2], [0, 0, 0], [0, 1, 0]),
+        fov=50.0,
+    )
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=128, tile_pixels=args.tile_pixels,
+        max_candidates=args.max_candidates,
+        segment=min(256, args.max_candidates),
+        cluster_size=args.cluster_size, backend="fused", early_exit=True,
+        coarse_group=args.coarse_group, refine_fraction=args.refine,
+        refine_factor=4, kernel_batch=args.kernel_batch,
+    )
+    state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
+    spp = args.spp
+    results = {}
+
+    def report(name, sec, ts):
+        results[name] = sec * 1e3
+        print(f"{name:10s} {sec * 1e3:8.1f} ms   (reps: "
+              + ", ".join(f"{t * 1e3:.1f}" for t in ts) + ")", flush=True)
+
+    if "full" in stages:
+        fn = jax.jit(
+            lambda s: jnp.sum(
+                rf_tiled.render_state(state, camera, cfg, None, spp=spp,
+                                      seed=s)
+            )
+        )
+        float(fn(jnp.int32(0)))
+        report("full", *_timeit(fn, 100, args.reps))
+
+    if "nokernel" in stages:
+        real = composite3.composite_tiles3_ad
+
+        def stub(d8, pf, sh3, n_seg_t, *a, **k):
+            t, _, rt = d8.shape
+            # cheap, but keeps pf/sh3/d8/n_seg_t alive as inputs
+            l0 = (
+                jnp.sum(pf, axis=(1, 2)) * 1e-12
+                + jnp.sum(sh3.astype(jnp.float32), axis=(1, 2)) * 1e-12
+                + jnp.sum(d8, axis=(1, 2)) * 1e-12
+                + n_seg_t.astype(jnp.float32) * 1e-12
+            )
+            l = jnp.broadcast_to(l0[:, None, None], (t, rt, 3))
+            return l, jnp.ones((t, rt), jnp.float32)
+
+        composite3.composite_tiles3_ad = stub
+        try:
+            fn = jax.jit(
+                lambda s: jnp.sum(
+                    rf_tiled.render_state(state, camera, cfg, None, spp=spp,
+                                          seed=s)
+                )
+            )
+            float(fn(jnp.int32(0)))
+            report("nokernel", *_timeit(fn, 200, args.reps))
+        finally:
+            composite3.composite_tiles3_ad = real
+
+    # ---- shared geometry for the standalone stages -----------------------
+    h = w = 512
+    tp = cfg.tile_pixels
+    th = int(tp ** 0.5)
+    while tp % th or h % th:
+        th -= 1
+    tw = tp // th
+    n_ty, n_tx = h // th, w // tw
+    n_tiles = n_ty * n_tx
+    origin = jnp.asarray(camera.to_world[:3, 3], jnp.float32)
+    cs = cfg.cluster_size
+    k_cl = max(1, cfg.max_candidates // cs)
+
+    def cull(seed):
+        """Two-level cone cull (same shapes as _render_tiles). Returns
+        (cl_ids [T, K], cl_valid [T, K], axis [T, 3], d [T, RT, 3])."""
+        o, d = vp.scene.generate_rays(camera, jitter=False)
+        d = d + seed.astype(jnp.float32) * 1e-12
+        d = d.reshape(n_ty, th, n_tx, tw, 3).transpose(0, 2, 1, 3, 4)
+        d = d.reshape(n_tiles, tp, 3)
+        ax = d.mean(axis=1)
+        axis = ax / jnp.linalg.norm(ax, axis=-1, keepdims=True)
+        cos_half = jnp.min(jnp.einsum("tri,ti->tr", d, axis), axis=1)
+        gc = cfg.coarse_group
+        n_coarse = n_tiles // gc
+        ax_g = axis.reshape(n_coarse, gc, 3)
+        c_axis = ax_g.mean(axis=1)
+        c_axis = c_axis / jnp.linalg.norm(c_axis, axis=-1, keepdims=True)
+        cosb = jnp.einsum("cgi,ci->cg", ax_g, c_axis)
+        ang = jnp.arccos(jnp.clip(cosb, -1, 1)) + jnp.arccos(
+            jnp.clip(cos_half.reshape(n_coarse, gc), -1, 1)
+        )
+        c_cos = jnp.cos(jnp.max(ang, axis=1))
+        keys_c = jax.vmap(
+            lambda a, chh: tiling.cone_cull_keys(
+                origin, a, chh, state.cull_centers, state.cull_radii
+            )
+        )(c_axis, c_cos)
+        k_c = min(cfg.coarse_factor * k_cl, state.cull_centers.shape[0])
+        cl_c, cl_cv = tiling.shortlist_approx(keys_c, k_c)
+        ccx = state.cull_centers[:, 0][cl_c]
+        ccy = state.cull_centers[:, 1][cl_c]
+        ccz = state.cull_centers[:, 2][cl_c]
+        ccr = jnp.where(cl_cv, state.cull_radii[cl_c], -1.0)
+        rep_ = lambda a: jnp.repeat(a, gc, axis=0)
+        keys = tiling.cone_cull_keys_cols(
+            origin, axis, cos_half, rep_(ccx), rep_(ccy), rep_(ccz),
+            rep_(ccr),
+        )
+        loc_ids, cl_valid = tiling.shortlist(keys, min(k_cl, k_c))
+        cl_ids = jnp.take_along_axis(rep_(cl_c), loc_ids, axis=-1)
+        return cl_ids, cl_valid, axis, d
+
+    if "cull" in stages:
+        def cull_sum(s):
+            ci, cv, _, _ = cull(s)
+            return jnp.sum(ci) + jnp.sum(cv)
+
+        fn = jax.jit(cull_sum)
+        float(fn(jnp.int32(0)))
+        report("cull", *_timeit(fn, 300, args.reps))
+
+    if "cull_coarse" in stages:
+        # the coarse strip stage alone (keys + approx_max_k + argsort)
+        def coarse_sum(s):
+            o, d = vp.scene.generate_rays(camera, jitter=False)
+            d = d + s.astype(jnp.float32) * 1e-12
+            d = d.reshape(n_ty, th, n_tx, tw, 3).transpose(0, 2, 1, 3, 4)
+            d = d.reshape(n_tiles, tp, 3)
+            ax = d.mean(axis=1)
+            axis = ax / jnp.linalg.norm(ax, axis=-1, keepdims=True)
+            cos_half = jnp.min(
+                jnp.einsum("tri,ti->tr", d, axis), axis=1
+            )
+            gc = cfg.coarse_group
+            n_coarse = n_tiles // gc
+            ax_g = axis.reshape(n_coarse, gc, 3)
+            c_axis = ax_g.mean(axis=1)
+            c_axis = c_axis / jnp.linalg.norm(
+                c_axis, axis=-1, keepdims=True
+            )
+            cosb = jnp.einsum("cgi,ci->cg", ax_g, c_axis)
+            ang = jnp.arccos(jnp.clip(cosb, -1, 1)) + jnp.arccos(
+                jnp.clip(cos_half.reshape(n_coarse, gc), -1, 1)
+            )
+            c_cos = jnp.cos(jnp.max(ang, axis=1))
+            keys_c = jax.vmap(
+                lambda a, chh: tiling.cone_cull_keys(
+                    origin, a, chh, state.cull_centers, state.cull_radii
+                )
+            )(c_axis, c_cos)
+            k_c = min(cfg.coarse_factor * k_cl, state.cull_centers.shape[0])
+            cl_c, cl_cv = tiling.shortlist_approx(keys_c, k_c)
+            return jnp.sum(cl_c) + jnp.sum(cl_cv)
+
+        fn = jax.jit(coarse_sum)
+        float(fn(jnp.int32(0)))
+        report("cull_coarse", *_timeit(fn, 600, args.reps))
+
+    if "gather" in stages or "kernel" in stages:
+        # real culled shortlists for one frame, gathered once
+        ci, cv, axis_t, d_t = jax.jit(cull)(jnp.int32(0))
+        ptab = composite3.pack_fused_features(state.prims, origin)
+        ncl = state.prims.num_prims // cs
+        s_here = k_cl * cs
+        neutral = composite3.neutral_fused_row()
+
+        ptab_rows = (
+            ptab.reshape(16, ncl, cs).transpose(1, 0, 2).reshape(ncl, 16 * cs)
+        )
+
+        def gather(ci, cv, seed):
+            ci = ci + (seed - seed)  # seed-dependence for the timer
+            valid_row = jnp.repeat(cv, cs, axis=-1)
+            rows = jnp.take(
+                ptab_rows, ci.reshape(-1), axis=0, mode="clip"
+            )
+            pf_t = (
+                rows.reshape(n_tiles, k_cl, 16, cs)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_tiles, 16, s_here)
+            )
+            pf_t = jnp.where(
+                valid_row[:, None, :], pf_t, neutral[None, :, None]
+            )
+            sh_t = jnp.take(
+                state.sh48h.reshape(ncl, cs, 48), ci.reshape(-1), axis=0,
+                mode="clip",
+            ).reshape(n_tiles, s_here, 48)
+            return pf_t, sh_t
+
+        if "gather" in stages:
+            def gather_sum(s):
+                pf_t, sh_t = gather(ci, cv, s)
+                return jnp.sum(pf_t) + jnp.sum(sh_t.astype(jnp.float32))
+
+            fn = jax.jit(gather_sum)
+            float(fn(jnp.int32(0)))
+            report("gather", *_timeit(fn, 500, args.reps))
+
+    if "kernel" in stages:
+        pf_t, sh_t = jax.jit(lambda: gather(ci, cv, jnp.int32(0)))()
+        n_seg_t = -(-(jnp.sum(cv, axis=-1) * cs) // cfg.segment)
+        d8 = jnp.concatenate(
+            [
+                d_t.transpose(0, 2, 1),
+                jnp.zeros((n_tiles, 5, tp), jnp.float32),
+            ],
+            axis=1,
+        )
+
+        # arrays as ARGUMENTS (closure constants inflate the remote-compile
+        # request past the axon helper's body-size limit: HTTP 413)
+        def kern(seed, d8, pf_t, sh_t, n_seg_t):
+            d8s = d8 + seed.astype(jnp.float32) * 1e-12
+            l, beta = composite3.composite_tiles3(
+                d8s, pf_t, sh_t, n_seg_t, cfg.segment, 9.0, 128, 0.01, 1, 4,
+                True, True, jax.default_backend() == "cpu",
+                args.kernel_batch,
+            )
+            return jnp.sum(l) + jnp.sum(beta)
+
+        jfn = jax.jit(kern)
+        fn = lambda s: jfn(s, d8, pf_t, sh_t, n_seg_t)
+        float(fn(jnp.int32(0)))
+        report("kernel", *_timeit(fn, 400, args.reps))
+
+    print("summary:", {k: round(v, 1) for k, v in results.items()},
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

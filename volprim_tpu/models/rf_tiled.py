@@ -98,6 +98,12 @@ class RFTiledConfig:
     # sharded renders statistically (not bitwise) equal to single-device.
     refine_fraction: float = 0.0
     refine_factor: int = 4
+    # Subtiles per Pallas program (fused backend): with small tiles
+    # (tile_pixels <= 64) the film cuts into thousands of tiles and grid
+    # sizes that large crash the remote compile helper; batching keeps the
+    # grid near T / kernel_batch while each program walks its subtiles
+    # sequentially (own shortlist + early exit each).
+    kernel_batch: int = 1
 
     @property
     def kernel(self) -> Kernel:
@@ -473,6 +479,13 @@ def _render_tiles(
 
         ncl = work.num_prims // cs
         ptab = composite3.pack_fused_features(work, origin)  # [16, N]
+        # cluster-row layout [Ncl, 16*cs]: ONE wide gather per tile block
+        # instead of 16 narrow plane gathers (row-gathers cost ~10 ns each
+        # on v5e regardless of width — 2M narrow rows took ~28 ms/frame,
+        # 131k wide rows take ~2 ms + one relayout)
+        ptab_rows = (
+            ptab.reshape(16, ncl, cs).transpose(1, 0, 2).reshape(ncl, 16 * cs)
+        )
 
         def fused_block(cl_i, cl_v, k_here, px_b, py_b, tid_b, ax_b):
             """Pad/gather/composite a tile block. Returns (sum-of-samples
@@ -489,21 +502,22 @@ def _render_tiles(
             # live segments per tile (valid clusters sort first); a cluster
             # wider than a segment spans cs/seg segments
             n_seg_t = -(-(jnp.sum(cl_v, axis=-1) * cs) // seg)
-            # cluster-blocked gathers: contiguous [cs, F] slices instead of
-            # per-row gathers — invalid clusters' rows become neutral
-            # transposed per-component gathers: a gathered [T, S, 16] is
-            # lane-padded 8x by the TPU layout; sixteen [T, S] component
-            # planes stack into the kernel's native [T, 16, S] block
+            # cluster-blocked gather: one wide row per cluster from the
+            # [Ncl, 16*cs] table, relaid out to the kernel's native
+            # [Tb, 16, S] block; invalid clusters' slots become neutral
             neutral = composite3.neutral_fused_row()
             valid_row = jnp.repeat(cl_v, cs, axis=-1)  # [Tb, S]
-            planes = []
-            for c in range(16):
-                col = jnp.take(
-                    ptab[c].reshape(ncl, cs), cl_i.reshape(-1), axis=0,
-                    mode="clip",
-                ).reshape(tb, s_here)
-                planes.append(jnp.where(valid_row, col, neutral[c]))
-            pf_t = jnp.stack(planes, axis=1)  # [Tb, 16, S]
+            rows = jnp.take(
+                ptab_rows, cl_i.reshape(-1), axis=0, mode="clip"
+            )  # [Tb*K, 16*cs]
+            pf_t = (
+                rows.reshape(tb, k_here, 16, cs)
+                .transpose(0, 2, 1, 3)
+                .reshape(tb, 16, s_here)
+            )
+            pf_t = jnp.where(
+                valid_row[:, None, :], pf_t, neutral[None, :, None]
+            )
             sh_t = jnp.take(
                 state.sh48h.reshape(ncl, cs, 48), cl_i.reshape(-1), axis=0,
                 mode="clip",
@@ -531,6 +545,9 @@ def _render_tiles(
                 d8 = jnp.stack(
                     [dnx, dny, dnz, zrow, zrow, zrow, zrow, zrow], axis=1
                 )  # [Tb, 8, RT]
+                kb = cfg.kernel_batch
+                while tb % kb:
+                    kb -= 1
                 l, beta = composite3.composite_tiles3_ad(
                     d8, pf_t, sh_t, n_seg_t,
                     seg,
@@ -542,6 +559,7 @@ def _render_tiles(
                     cfg.early_exit,
                     True,
                     jax.default_backend() != "tpu",
+                    kb,
                 )
                 if emitter is not None:
                     d = jnp.stack([dnx, dny, dnz], axis=-1)

@@ -127,13 +127,13 @@ def neutral_fused_row() -> jnp.ndarray:
     return jnp.asarray(row)
 
 
-def _ray_blocks_t(d_ref, degree):
-    """_ray_blocks for the transposed direction block [1, 8, RT]: component
+def _ray_blocks_t(d_ref, degree, b=0):
+    """_ray_blocks for the transposed direction block [B, 8, RT]: component
     rows live on the lane axis (no [RT, 8] padding in HBM); transposed to
-    [RT, 1] columns once per tile."""
-    dx = jnp.transpose(d_ref[0, 0:1, :])  # [RT, 1]
-    dy = jnp.transpose(d_ref[0, 1:2, :])
-    dz = jnp.transpose(d_ref[0, 2:3, :])
+    [RT, 1] columns once per (sub)tile ``b``."""
+    dx = jnp.transpose(d_ref[b, 0:1, :])  # [RT, 1]
+    dy = jnp.transpose(d_ref[b, 1:2, :])
+    dz = jnp.transpose(d_ref[b, 2:3, :])
     f6 = jnp.concatenate(
         [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz], axis=1
     )
@@ -209,9 +209,14 @@ def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
         q_raw = pfT[13:14, :] + t_peak * b
         p = None
     q_min = jnp.maximum(q_raw, 0.0)
-    disc = (extent2 - q_min) / a
-    t_near = t_peak - jnp.sqrt(jnp.maximum(disc, 0.0))
-    hit = (disc >= 0.0) & (t_near > 0.0)
+    # hit = (disc >= 0) & (t_near > 0) without divide/sqrt:
+    #   t_near = t_peak - sqrt((e2 - q_min)/a) > 0
+    #   <=> t_peak > 0  and  a t_peak^2 > e2 - q_min,   a t_peak^2 = -b t_peak
+    hit = (
+        (q_min <= extent2)
+        & (t_peak > 0.0)
+        & (q_min - b * t_peak > extent2)
+    )
     return a, b, t_peak, p, q_raw, q_min, hit, opac, pfT
 
 
@@ -219,87 +224,97 @@ def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
 def _fwd3_kernel(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
-    stable_q=True,
+    stable_q=True, batch=1,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
-    hp = jax.lax.Precision.HIGHEST
     log_kill = jnp.log(jnp.float32(beta_kill))
     ut = ut_ref[:]
-    f6, d3, basis = _ray_blocks_t(d_ref, degree)
-    dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
 
-    def seg_body(si, carry):
-        log_beta, lr, lg, lb_, count = carry
-        sl = pl.ds(si * seg, seg)
-        pfT = pf_ref[0, :, sl]  # [16, C] — native transposed layout
-        # shared pair math: the backward sweep recomputes exactly this
-        _, _, _, _, _, q_min, hit, opac, _ = _fwd3_core(
-            pfT, f6, d3, dx, dy, dz, extent2, stable_q
-        )
-        alpha = jnp.minimum(opac * jnp.exp(-0.5 * q_min), 0.9999)
-        alpha = jnp.where(hit, alpha, 0.0)
-
-        hitf = jnp.where(alpha > 0.0, 1.0, 0.0)
-        cum_hits = count + jnp.dot(hitf, ut, preferred_element_type=f32)
-        alpha = jnp.where(cum_hits <= max_depth, alpha, 0.0)
-        logt = jnp.log1p(-alpha)
-        lt_hi = logt.astype(jnp.bfloat16).astype(f32)
-        cs_incl = jnp.dot(lt_hi, ut, preferred_element_type=f32) + jnp.dot(
-            logt - lt_hi, ut, preferred_element_type=f32
-        )
-        cs_excl = cs_incl - logt
-        lw = log_beta + cs_excl
-        w_ = jnp.where(lw > log_kill, jnp.exp(lw) * alpha, 0.0)
-
-        acc = []
+    # Static loop over the program's subtile batch: each subtile has its own
+    # rays, shortlist and early-exit walk. batch>1 keeps the Pallas grid
+    # small when the film is cut into many small tiles (grid sizes in the
+    # thousands crash the remote compile helper; 8x8-pixel tiles need
+    # T=4096 at 512^2).
+    for b in range(batch):
+        f6, d3, basis = _ray_blocks_t(d_ref, degree, b)
+        dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
         basis_h = basis.astype(sh_ref.dtype)
-        for ch in range(3):
-            sh_ch = sh_ref[0, sl, pl.ds(ch * 16, 16)]  # [C, 16] (maybe bf16)
-            e_ch = jax.lax.dot_general(
-                basis_h, sh_ch, _DN_T, preferred_element_type=f32
+
+        def seg_body(si, carry, b=b, f6=f6, d3=d3, dx=dx, dy=dy, dz=dz,
+                     basis_h=basis_h):
+            log_beta, lr, lg, lb_, count = carry
+            sl = pl.ds(si * seg, seg)
+            pfT = pf_ref[b, :, sl]  # [16, C] — native transposed layout
+            # shared pair math: the backward sweep recomputes exactly this
+            _, _, _, _, _, q_min, hit, opac, _ = _fwd3_core(
+                pfT, f6, d3, dx, dy, dz, extent2, stable_q
             )
-            e_ch = jnp.maximum(e_ch + 0.5, 0.0)
-            acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
+            alpha = jnp.minimum(opac * jnp.exp(-0.5 * q_min), 0.9999)
+            alpha = jnp.where(hit, alpha, 0.0)
 
-        return (
-            log_beta + cs_incl[:, seg - 1:seg],
-            lr + acc[0], lg + acc[1], lb_ + acc[2],
-            cum_hits[:, seg - 1:seg],
+            hitf = jnp.where(alpha > 0.0, 1.0, 0.0)
+            cum_hits = count + jnp.dot(hitf, ut, preferred_element_type=f32)
+            alpha = jnp.where(cum_hits <= max_depth, alpha, 0.0)
+            logt = jnp.log1p(-alpha)
+            lt_hi = logt.astype(jnp.bfloat16).astype(f32)
+            cs_incl = jnp.dot(
+                lt_hi, ut, preferred_element_type=f32
+            ) + jnp.dot(logt - lt_hi, ut, preferred_element_type=f32)
+            cs_excl = cs_incl - logt
+            lw = log_beta + cs_excl
+            w_ = jnp.where(lw > log_kill, jnp.exp(lw) * alpha, 0.0)
+
+            acc = []
+            for ch in range(3):
+                sh_ch = sh_ref[b, sl, pl.ds(ch * 16, 16)]  # [C, 16]
+                e_ch = jax.lax.dot_general(
+                    basis_h, sh_ch, _DN_T, preferred_element_type=f32
+                )
+                e_ch = jnp.maximum(e_ch + 0.5, 0.0)
+                acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
+
+            return (
+                log_beta + cs_incl[:, seg - 1:seg],
+                lr + acc[0], lg + acc[1], lb_ + acc[2],
+                cum_hits[:, seg - 1:seg],
+            )
+
+        zeros = jnp.zeros((rt, 1), f32)
+        init = (zeros, zeros, zeros, zeros, zeros)
+        # Per-tile dynamic trip count: segments holding only culled-out
+        # (neutral) cluster slots are never visited (sky/edge tiles).
+        n_seg_t = jnp.minimum(
+            nseg_ref[0, pl.program_id(0) * batch + b], n_seg
         )
+        if early_exit:
 
-    zeros = jnp.zeros((rt, 1), f32)
-    init = (zeros, zeros, zeros, zeros, zeros)
-    # Per-tile dynamic trip count: segments holding only culled-out
-    # (neutral) cluster slots are never visited (sky/edge tiles).
-    n_seg_t = jnp.minimum(nseg_ref[pl.program_id(0), 0], n_seg)
-    if early_exit:
+            def cond(state, n_seg_t=n_seg_t):
+                si, (log_beta, *_rest) = state
+                return (si < n_seg_t) & (jnp.max(log_beta) > log_kill)
 
-        def cond(state):
-            si, (log_beta, *_rest) = state
-            return (si < n_seg_t) & (jnp.max(log_beta) > log_kill)
+            def body(state, seg_body=seg_body):
+                si, carry = state
+                return si + 1, seg_body(si, carry)
 
-        def body(state):
-            si, carry = state
-            return si + 1, seg_body(si, carry)
-
-        _, (log_beta, lr, lg, lb_, _) = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), init)
+            _, (log_beta, lr, lg, lb_, _) = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), init)
+            )
+        else:
+            log_beta, lr, lg, lb_, _ = jax.lax.fori_loop(
+                0, n_seg_t, seg_body, init
+            )
+        out_ref[b] = jnp.concatenate(
+            [lr, lg, lb_, jnp.exp(log_beta), jnp.zeros((rt, 4), f32)],
+            axis=1,
         )
-    else:
-        log_beta, lr, lg, lb_, _ = jax.lax.fori_loop(
-            0, n_seg_t, seg_body, init
-        )
-    out_ref[0] = jnp.concatenate(
-        [lr, lg, lb_, jnp.exp(log_beta), jnp.zeros((rt, 4), f32)], axis=1
-    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "seg", "extent2", "max_depth", "beta_kill", "degree", "sh_k",
-        "early_exit", "stable_q", "interpret",
+        "early_exit", "stable_q", "interpret", "batch",
     ),
 )
 def composite_tiles3(
@@ -320,11 +335,16 @@ def composite_tiles3(
     early_exit: bool = True,
     stable_q: bool = True,
     interpret: bool = False,
+    batch: int = 1,
 ):
-    """Fused forward compositor. Returns (L [T, RT, 3], beta [T, RT])."""
+    """Fused forward compositor. Returns (L [T, RT, 3], beta [T, RT]).
+
+    ``batch``: subtiles processed sequentially per Pallas program (grid =
+    T / batch) — use >1 for small tiles so the grid stays in the hundreds.
+    """
     return _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-        degree, sh_k, early_exit, stable_q, interpret,
+        degree, sh_k, early_exit, stable_q, interpret, batch,
     )
 
 
@@ -338,29 +358,49 @@ def _bwd3_kernel(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
+    batch=1,
 ):
     """Two-sweep backward for the fused compositor: a forward sweep stores
     the per-segment (log_beta, count) carries, then a reverse sweep
     recomputes each segment and accumulates the adjoints of the packed
     primitive rows (m6, u, w, opac) and the SH table. Mirrors
-    composite2._bwd_kernel with the closest-approach q adjoints."""
+    composite2._bwd_kernel with the closest-approach q adjoints. Subtiles
+    of the program's batch run sequentially, reusing the carry scratch."""
+    for b in range(batch):
+        _bwd3_subtile(
+            nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
+            gpf_ref, gsh_ref, lb_scratch, cnt_scratch, b,
+            n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
+            beta_kill=beta_kill, degree=degree, sh_k=sh_k,
+            stable_q=stable_q, batch=batch,
+        )
+
+
+def _bwd3_subtile(
+    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
+    gpf_ref, gsh_ref, lb_scratch, cnt_scratch, sb,
+    *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
+    batch,
+):
     rt = d_ref.shape[2]
     f32 = jnp.float32
     hp = jax.lax.Precision.HIGHEST
     log_kill = jnp.log(jnp.float32(beta_kill))
     ut = ut_ref[:]
-    f6, d3, basis = _ray_blocks_t(d_ref, degree)
+    f6, d3, basis = _ray_blocks_t(d_ref, degree, sb)
     dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
     basis_h = basis.astype(sh_ref.dtype)
 
-    gpf_ref[0] = jnp.zeros_like(gpf_ref[0])
-    gsh_ref[0] = jnp.zeros_like(gsh_ref[0])
+    gpf_ref[sb] = jnp.zeros_like(gpf_ref[sb])
+    gsh_ref[sb] = jnp.zeros_like(gsh_ref[sb])
 
-    n_seg_t = jnp.minimum(nseg_ref[pl.program_id(0), 0], n_seg)
+    n_seg_t = jnp.minimum(
+        nseg_ref[0, pl.program_id(0) * batch + sb], n_seg
+    )
 
     def common(si):
         sl = pl.ds(si * seg, seg)
-        pfT = pf_ref[0, :, sl]  # [16, C]
+        pfT = pf_ref[sb, :, sl]  # [16, C]
         a, b, t_peak, p, q_raw, q_min, hit, opac, pfT = _fwd3_core(
             pfT, f6, d3, dx, dy, dz, extent2, stable_q
         )
@@ -387,8 +427,8 @@ def _bwd3_kernel(
     zeros = jnp.zeros((rt, 1), f32)
     log_beta_fin, _ = jax.lax.fori_loop(0, n_seg_t, fwd_body, (zeros, zeros))
 
-    g_l = gl_ref[0]  # [RT, 3]
-    g_lb_init = gbeta_ref[0, 0:1, :].T * jnp.exp(log_beta_fin)
+    g_l = gl_ref[sb]  # [RT, 3]
+    g_lb_init = gbeta_ref[sb, 0:1, :].T * jnp.exp(log_beta_fin)
 
     def bwd_body(k, g_lb_next):
         si = n_seg_t - 1 - k
@@ -414,7 +454,7 @@ def _bwd3_kernel(
 
         g_w = jnp.zeros((rt, seg), f32)
         for ch in range(3):
-            sh_ch = sh_ref[0, sl, pl.ds(ch * 16, 16)]
+            sh_ch = sh_ref[sb, sl, pl.ds(ch * 16, 16)]
             e_raw = jax.lax.dot_general(
                 basis_h, sh_ch, _DN_T, preferred_element_type=f32
             ) + 0.5
@@ -424,8 +464,8 @@ def _bwd3_kernel(
             g_sh_ch = jax.lax.dot_general(
                 g_e, basis, _DN_TT, precision=hp, preferred_element_type=f32
             )  # [C, 16]
-            gsh_ref[0, sl, pl.ds(ch * 16, 16)] = (
-                gsh_ref[0, sl, pl.ds(ch * 16, 16)]
+            gsh_ref[sb, sl, pl.ds(ch * 16, 16)] = (
+                gsh_ref[sb, sl, pl.ds(ch * 16, 16)]
                 + g_sh_ch.astype(gsh_ref.dtype)
             )
 
@@ -503,7 +543,7 @@ def _bwd3_kernel(
             ],
             axis=0,
         )  # [16, C] — native output layout, no transpose needed
-        gpf_ref[0, :, sl] = gpf_ref[0, :, sl] + g_rows
+        gpf_ref[sb, :, sl] = gpf_ref[sb, :, sl] + g_rows
 
         return jnp.sum(g_lw, axis=1, keepdims=True) + g_lb_next
 
@@ -511,11 +551,12 @@ def _bwd3_kernel(
 
 
 def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-              degree, sh_k, early_exit, stable_q, interpret):
+              degree, sh_k, early_exit, stable_q, interpret, batch=1):
     t = d8.shape[0]
     rt = d8.shape[2]
     s = pf.shape[2]
     assert s % seg == 0
+    assert t % batch == 0
     n_seg = s // seg
     if n_seg_t is None:
         n_seg_t = jnp.full((t,), n_seg, jnp.int32)
@@ -523,60 +564,62 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         _fwd3_kernel,
         n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, early_exit=early_exit,
-        stable_q=stable_q,
+        stable_q=stable_q, batch=batch,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t // batch,),
         in_specs=[
             pl.BlockSpec(
-                (t, 1), lambda i: (0, 0), memory_space=pltpu.SMEM,
+                (1, t), lambda i: (0, 0), memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, s, 48), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, s, 48), lambda i: (i, 0, 0)),
             pl.BlockSpec((seg, seg), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, rt, 8), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((batch, rt, 8), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t, rt, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        n_seg_t.astype(jnp.int32).reshape(t, 1), d8, pf, sh3,
+        n_seg_t.astype(jnp.int32).reshape(1, t), d8, pf, sh3,
         jnp.triu(jnp.ones((seg, seg), jnp.float32)),
     )
     return out[..., :3], out[..., 3]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+)
 def composite_tiles3_ad(
     d8, pf, sh3, n_seg_t,
     seg: int, extent2: float, max_depth: int, beta_kill: float,
     degree: int, sh_k: int, early_exit: bool, stable_q: bool,
-    interpret: bool,
+    interpret: bool, batch: int = 1,
 ):
     """Differentiable fused compositor (forward = composite_tiles3; custom
     backward kernel). Gradients flow into pf and sh3; d8 / n_seg_t get
     zeros."""
     return _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-        degree, sh_k, early_exit, stable_q, interpret,
+        degree, sh_k, early_exit, stable_q, interpret, batch,
     )
 
 
 def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-               degree, sh_k, early_exit, stable_q, interpret):
+               degree, sh_k, early_exit, stable_q, interpret, batch=1):
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-        degree, sh_k, early_exit, stable_q, interpret,
+        degree, sh_k, early_exit, stable_q, interpret, batch,
     )
     return out, (d8, pf, sh3, n_seg_t)
 
 
 def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
-               stable_q, interpret, res, cts):
+               stable_q, interpret, batch, res, cts):
     d8, pf, sh3, n_seg_t = res
     g_l, g_beta = cts
     t = d8.shape[0]
@@ -585,28 +628,30 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
     n_seg = s // seg
     if n_seg_t is None:
         n_seg_t = jnp.full((t,), n_seg, jnp.int32)
+    assert t % batch == 0
     kernel = functools.partial(
         _bwd3_kernel,
         n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, stable_q=stable_q,
+        batch=batch,
     )
     gpf, gsh = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t // batch,),
         in_specs=[
             pl.BlockSpec(
-                (t, 1), lambda i: (0, 0), memory_space=pltpu.SMEM,
+                (1, t), lambda i: (0, 0), memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, s, 48), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, s, 48), lambda i: (i, 0, 0)),
             pl.BlockSpec((seg, seg), lambda i: (0, 0)),
-            pl.BlockSpec((1, rt, 3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, rt, 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, 1, rt), lambda i: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, s, 48), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch, s, 48), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t, _FEAT, s), jnp.float32),
@@ -621,7 +666,7 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         ),
         interpret=interpret,
     )(
-        n_seg_t.astype(jnp.int32).reshape(t, 1), d8, pf, sh3,
+        n_seg_t.astype(jnp.int32).reshape(1, t), d8, pf, sh3,
         jnp.triu(jnp.ones((seg, seg), jnp.float32)),
         g_l, g_beta[:, None, :],
     )
