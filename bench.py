@@ -178,16 +178,25 @@ def main():
         fov=50.0,
     )
 
-    def build(mc, refine=0.125):
+    # Headline config (overridable via BENCH_* envs for sweeps)
+    tp = int(os.environ.get("BENCH_TP", "64"))
+    cs = int(os.environ.get("BENCH_CS", "16"))
+    cg = int(os.environ.get("BENCH_CG", "16"))
+    kb = int(os.environ.get("BENCH_KB", "4"))
+    mc0 = int(os.environ.get("BENCH_MC", "512"))
+    rf0 = float(os.environ.get("BENCH_REFINE", "0.125"))
+
+    def build(mc, refine=rf0):
         cfg = rf_tiled.RFTiledConfig(
-            max_depth=128, tile_pixels=256, max_candidates=mc,
-            segment=256, cluster_size=16, backend="fused", early_exit=True,
-            coarse_group=4, refine_fraction=refine, refine_factor=4,
+            max_depth=128, tile_pixels=tp, max_candidates=mc,
+            segment=min(256, mc), cluster_size=cs, backend="fused",
+            early_exit=True, coarse_group=cg, refine_fraction=refine,
+            refine_factor=4, kernel_batch=kb,
         )
         state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
         return cfg, state
 
-    cfg, state = build(2048)
+    cfg, state = build(mc0)
 
     def run(st, seed):
         img = rf_tiled.render_state(st, camera, cfg, None, spp=spp, seed=seed)
@@ -251,7 +260,7 @@ def main():
         exact = np.load(exact_path).astype(np.float32)
         mse_e = float(np.mean((img1 - exact) ** 2))
         psnr_exact = -10 * np.log10(max(mse_e, 1e-12))
-    cfg2, state2 = build(4096, refine=0.0)
+    cfg2, state2 = build(2 * mc0, refine=0.0)
     img2 = np.asarray(
         jax.jit(
             lambda st, s: rf_tiled.render_state(

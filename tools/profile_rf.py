@@ -101,6 +101,49 @@ def main():
         float(fn(jnp.int32(0)))
         report("full", *_timeit(fn, 100, args.reps))
 
+    if "in_cull_nosel" in stages:
+        # cull with top-k selection stubbed out (first-k instead): the
+        # difference to in_cull is the pure lax.top_k cost
+        real_sl = tiling.shortlist
+        rf_tiled._DEBUG_STOP = "cull"
+        try:
+            tiling.shortlist = lambda keys, k: (
+                jnp.broadcast_to(
+                    jnp.arange(k, dtype=jnp.int32),
+                    keys.shape[:-1] + (k,),
+                ),
+                jnp.isfinite(keys[..., :k]),
+            )
+            fn = jax.jit(
+                lambda s: jnp.sum(
+                    rf_tiled.render_state(
+                        state, camera, cfg, None, spp=spp, seed=s
+                    )
+                )
+            )
+            float(fn(jnp.int32(0)))
+            report("in_cull_nosel", *_timeit(fn, 800, args.reps))
+        finally:
+            tiling.shortlist = real_sl
+            rf_tiled._DEBUG_STOP = None
+
+    # ---- in-frame stage stops (the real pipeline, stopped early) ---------
+    for stop in ("cull", "gather"):
+        if f"in_{stop}" in stages:
+            rf_tiled._DEBUG_STOP = stop
+            try:
+                fn = jax.jit(
+                    lambda s: jnp.sum(
+                        rf_tiled.render_state(
+                            state, camera, cfg, None, spp=spp, seed=s
+                        )
+                    )
+                )
+                float(fn(jnp.int32(0)))
+                report(f"in_{stop}", *_timeit(fn, 700, args.reps))
+            finally:
+                rf_tiled._DEBUG_STOP = None
+
     if "nokernel" in stages:
         real = composite3.composite_tiles3_ad
 
@@ -109,7 +152,10 @@ def main():
             # cheap, but keeps pf/sh3/d8/n_seg_t alive as inputs
             l0 = (
                 jnp.sum(pf, axis=(1, 2)) * 1e-12
-                + jnp.sum(sh3.astype(jnp.float32), axis=(1, 2)) * 1e-12
+                + jnp.sum(
+                    sh3.astype(jnp.float32),
+                    axis=tuple(range(1, sh3.ndim)),
+                ) * 1e-12
                 + jnp.sum(d8, axis=(1, 2)) * 1e-12
                 + n_seg_t.astype(jnp.float32) * 1e-12
             )
@@ -162,13 +208,25 @@ def main():
             jnp.clip(cos_half.reshape(n_coarse, gc), -1, 1)
         )
         c_cos = jnp.cos(jnp.max(ang, axis=1))
-        keys_c = jax.vmap(
-            lambda a, chh: tiling.cone_cull_keys(
-                origin, a, chh, state.cull_centers, state.cull_radii
-            )
-        )(c_axis, c_cos)
-        k_c = min(cfg.coarse_factor * k_cl, state.cull_centers.shape[0])
-        cl_c, cl_cv = tiling.shortlist_approx(keys_c, k_c)
+        sg = state.super_group
+        ncl_total = state.cull_centers.shape[0]
+        keys_s = tiling.cone_cull_keys_batch(
+            origin, c_axis, c_cos, state.sup_centers, state.sup_radii
+        )
+        k_sup = min(
+            max(1, -(-cfg.coarse_factor * k_cl // sg)),
+            state.sup_centers.shape[0],
+        )
+        sup_ids, sup_valid = tiling.shortlist(keys_s, k_sup)
+        offs_s = jnp.arange(sg, dtype=sup_ids.dtype)
+        cl_c = (sup_ids[..., None] * sg + offs_s).reshape(
+            n_coarse, k_sup * sg
+        )
+        cl_cv = jnp.broadcast_to(
+            sup_valid[..., None], (n_coarse, k_sup, sg)
+        ).reshape(n_coarse, k_sup * sg) & (cl_c < ncl_total)
+        cl_c = jnp.minimum(cl_c, ncl_total - 1)
+        k_c = k_sup * sg
         ccx = state.cull_centers[:, 0][cl_c]
         ccy = state.cull_centers[:, 1][cl_c]
         ccz = state.cull_centers[:, 2][cl_c]
@@ -215,14 +273,15 @@ def main():
                 jnp.clip(cos_half.reshape(n_coarse, gc), -1, 1)
             )
             c_cos = jnp.cos(jnp.max(ang, axis=1))
-            keys_c = jax.vmap(
-                lambda a, chh: tiling.cone_cull_keys(
-                    origin, a, chh, state.cull_centers, state.cull_radii
-                )
-            )(c_axis, c_cos)
-            k_c = min(cfg.coarse_factor * k_cl, state.cull_centers.shape[0])
-            cl_c, cl_cv = tiling.shortlist_approx(keys_c, k_c)
-            return jnp.sum(cl_c) + jnp.sum(cl_cv)
+            keys_s = tiling.cone_cull_keys_batch(
+                origin, c_axis, c_cos, state.sup_centers, state.sup_radii
+            )
+            k_sup = min(
+                max(1, -(-cfg.coarse_factor * k_cl // state.super_group)),
+                state.sup_centers.shape[0],
+            )
+            sup_ids, sup_valid = tiling.shortlist(keys_s, k_sup)
+            return jnp.sum(sup_ids) + jnp.sum(sup_valid)
 
         fn = jax.jit(coarse_sum)
         float(fn(jnp.int32(0)))

@@ -70,6 +70,39 @@ def cone_cull_keys(
     return jnp.where(hit, depth, jnp.inf)
 
 
+def cone_cull_keys_batch(
+    origin: jnp.ndarray,  # [3]
+    axes: jnp.ndarray,  # [T, 3]
+    cos_half: jnp.ndarray,  # [T]
+    centers: jnp.ndarray,  # [N, 3]
+    radii: jnp.ndarray,  # [N]
+) -> jnp.ndarray:
+    """:func:`cone_cull_keys` for T cones at once, without [T, N, 3]
+    intermediates (vmapping the single-cone version materializes [T, N, 3]
+    vectors, which the (8, 128) tile layout lane-pads 42x — measured
+    ~25 ms/frame at [256 strips, 16k clusters]). All per-cluster terms are
+    computed once as [N] columns; the only per-(cone, cluster) work is the
+    depth GEMM [T, 3] x [3, N] and a few [T, N] column ops."""
+    v = centers - origin  # [N, 3] (once, not per cone)
+    dist = jnp.sqrt(jnp.sum(v * v, axis=-1))
+    safe = jnp.maximum(dist, 1e-8)
+    sin_rho = jnp.clip(radii / safe, 0.0, 1.0)
+    cos_rho = jnp.sqrt(jnp.maximum(1.0 - sin_rho * sin_rho, 0.0))
+    contains = dist <= radii
+    depth = jax.lax.dot_general(
+        axes, v, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [T, N]
+    cos_theta = depth / safe[None, :]
+    ch = jnp.clip(cos_half, -1.0, 1.0)[:, None]
+    sh = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+    wraps = cos_rho[None, :] <= -ch
+    inside = wraps | (cos_theta >= ch * cos_rho[None, :] - sh * sin_rho[None, :])
+    in_front = depth + radii[None, :] > 1e-4
+    hit = (inside & in_front) | contains[None, :]
+    return jnp.where(hit, depth, jnp.inf)
+
+
 def shortlist(
     keys: jnp.ndarray, max_candidates: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

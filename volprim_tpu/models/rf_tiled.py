@@ -89,6 +89,10 @@ class RFTiledConfig:
     # cheap. 0 disables (single-level exact top-k).
     coarse_group: int = 0
     coarse_factor: int = 4
+    # Clusters per supercluster (third cull level): the strip-coarse stage
+    # selects superclusters (Ncl/super_group keys) instead of clusters —
+    # top-k over [strips, 16k] cluster keys was selection-bound (~25 ms).
+    super_group: int = 16
     # Residual-driven tile refinement (fused backend): after the base pass,
     # the refine_fraction of tiles most likely truncated (full cluster list
     # AND rays left unsaturated at the end of it) are re-rendered with a
@@ -122,9 +126,12 @@ class RFTiledState:
     opac: jnp.ndarray  # [N]
     sh48: jnp.ndarray  # [N, 48] channel-major SH blocks of 16
     sh48h: jnp.ndarray  # [N, 48] bf16 copy (fused-path gathers + kernel DMA)
+    sup_centers: jnp.ndarray = None  # [Nsup, 3] supercluster spheres
+    sup_radii: jnp.ndarray = None  # [Nsup]
     extent: float = dataclasses.field(default=3.0, metadata=dict(static=True))
     clustered: bool = dataclasses.field(default=True, metadata=dict(static=True))
     cluster_size: int = dataclasses.field(default=64, metadata=dict(static=True))
+    super_group: int = dataclasses.field(default=16, metadata=dict(static=True))
 
 
 def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
@@ -155,6 +162,9 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
     sh48 = jnp.zeros((n, 48), jnp.float32)
     for ch in range(3):
         sh48 = sh48.at[:, ch * 16:ch * 16 + k].set(sh_coeffs[:, :, ch])
+    sup_centers, sup_radii = clusters.build_super_spheres(
+        cull_centers, cull_radii, cfg.super_group
+    )
     return RFTiledState(
         prims=work,
         cull_centers=cull_centers,
@@ -163,10 +173,20 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
         opac=work.attrs["opacities"][:, 0],
         sh48=sh48,
         sh48h=sh48.astype(jnp.bfloat16),
+        sup_centers=sup_centers,
+        sup_radii=sup_radii,
         extent=float(primitives.extent),
         clustered=cfg.use_clusters,
         cluster_size=cfg.cluster_size,
+        super_group=cfg.super_group,
     )
+
+
+# Profiling hook (tools/profile_rf.py): when set to 'cull' or 'gather',
+# _render_tiles returns a cheap stand-in right after that stage (keeping
+# data dependencies alive) so the real in-frame stage cost can be timed —
+# standalone re-implementations of the stages measure different layouts.
+_DEBUG_STOP = None
 
 
 def _neutral_feature():
@@ -420,15 +440,28 @@ def _render_tiles(
                 jnp.clip(cos_half.reshape(n_coarse, gc), -1.0, 1.0)
             )
             c_cos = jnp.cos(jnp.max(ang, axis=1))
-            keys_c = jax.vmap(
-                lambda ax, ch: tiling.cone_cull_keys(
-                    origin, ax, ch, state.cull_centers, state.cull_radii
-                )
-            )(c_axis, c_cos)
-            k_c = min(
-                cfg.coarse_factor * k_cl, state.cull_centers.shape[0]
+            # third level: exact top-k over Nsup = Ncl/super_group keys,
+            # then expansion back to Morton-contiguous cluster ranges (the
+            # fine stage re-culls and re-orders with exact cluster keys)
+            sg = state.super_group
+            ncl_total = state.cull_centers.shape[0]
+            keys_s = tiling.cone_cull_keys_batch(
+                origin, c_axis, c_cos, state.sup_centers, state.sup_radii
             )
-            cl_c, cl_c_valid = tiling.shortlist_approx(keys_c, k_c)
+            k_sup = min(
+                max(1, -(-cfg.coarse_factor * k_cl // sg)),
+                state.sup_centers.shape[0],
+            )
+            sup_ids, sup_valid = tiling.shortlist(keys_s, k_sup)
+            offs_s = jnp.arange(sg, dtype=sup_ids.dtype)
+            cl_c = (sup_ids[..., None] * sg + offs_s).reshape(
+                n_coarse, k_sup * sg
+            )
+            cl_c_valid = jnp.broadcast_to(
+                sup_valid[..., None], (n_coarse, k_sup, sg)
+            ).reshape(n_coarse, k_sup * sg) & (cl_c < ncl_total)
+            cl_c = jnp.minimum(cl_c, ncl_total - 1)
+            k_c = k_sup * sg
             # per-tile keys against the strip's survivors only
             ccx = state.cull_centers[:, 0][cl_c]
             ccy = state.cull_centers[:, 1][cl_c]
@@ -446,11 +479,9 @@ def _render_tiles(
                 cl_ids = jnp.pad(cl_ids, pad)
                 cl_valid = jnp.pad(cl_valid, pad)
         else:
-            keys = jax.vmap(
-                lambda ax, ch: tiling.cone_cull_keys(
-                    origin, ax, ch, state.cull_centers, state.cull_radii
-                )
-            )(axis, cos_half)
+            keys = tiling.cone_cull_keys_batch(
+                origin, axis, cos_half, state.cull_centers, state.cull_radii
+            )
             cl_ids, cl_valid = tiling.shortlist(keys, k_cl)
         if not use_fused:
             ids, valid = clusters.expand_cluster_ids(cl_ids, cl_valid, cs)
@@ -463,11 +494,9 @@ def _render_tiles(
             ids = jnp.take_along_axis(ids, order, axis=-1)
             valid = jnp.take_along_axis(valid, order, axis=-1)
     else:
-        keys = jax.vmap(
-            lambda ax, ch: tiling.cone_cull_keys(
-                origin, ax, ch, state.cull_centers, state.cull_radii
-            )
-        )(axis, cos_half)
+        keys = tiling.cone_cull_keys_batch(
+            origin, axis, cos_half, state.cull_centers, state.cull_radii
+        )
         ids, valid = tiling.shortlist(keys, s)
 
     # ---- per-sample rendering --------------------------------------------
@@ -486,6 +515,12 @@ def _render_tiles(
         ptab_rows = (
             ptab.reshape(16, ncl, cs).transpose(1, 0, 2).reshape(ncl, 16 * cs)
         )
+
+        if _DEBUG_STOP == "cull":
+            probe = (jnp.sum(cl_ids) + jnp.sum(cl_valid)).astype(
+                jnp.float32
+            ) * 1e-12
+            return jnp.broadcast_to(probe, (n_tiles, rt, 3))
 
         def fused_block(cl_i, cl_v, k_here, px_b, py_b, tid_b, ax_b):
             """Pad/gather/composite a tile block. Returns (sum-of-samples
@@ -518,10 +553,31 @@ def _render_tiles(
             pf_t = jnp.where(
                 valid_row[:, None, :], pf_t, neutral[None, :, None]
             )
-            sh_t = jnp.take(
-                state.sh48h.reshape(ncl, cs, 48), cl_i.reshape(-1), axis=0,
-                mode="clip",
-            ).reshape(tb, s_here, 48)
+            # SH: gather only the LIVE coefficients (a degree-1 asset uses
+            # 12 of the 48 padded slots; dynamic gathers are ~15x slower
+            # than dense writes, so gather small then zero-pad densely into
+            # the kernel's channel-major 48 layout)
+            k_live = _basis_count(state)
+            if k_live < 16:
+                shp = state.sh48h.reshape(ncl, cs, 3, 16)[..., :k_live]
+                sh_small = jnp.take(
+                    shp.reshape(ncl, cs * 3 * k_live), cl_i.reshape(-1),
+                    axis=0, mode="clip",
+                ).reshape(tb, s_here, 3, k_live)
+                sh_t = jnp.concatenate(
+                    [
+                        sh_small,
+                        jnp.zeros(
+                            (tb, s_here, 3, 16 - k_live), sh_small.dtype
+                        ),
+                    ],
+                    axis=-1,
+                ).reshape(tb, s_here, 48)
+            else:
+                sh_t = jnp.take(
+                    state.sh48h.reshape(ncl, cs, 48), cl_i.reshape(-1),
+                    axis=0, mode="clip",
+                ).reshape(tb, s_here, 48)
             if resort:
                 # exact per-primitive view depth from the packed rows
                 # (w = o - c lives at rows 9:12 — no extra gathers); the
@@ -536,18 +592,45 @@ def _render_tiles(
                 pf_t = jnp.take_along_axis(pf_t, order[:, None, :], axis=2)
                 sh_t = jnp.take_along_axis(sh_t, order[..., None], axis=1)
 
-            def sample(i):
-                off = _tile_offsets(base_key, i, tid_b, rt, jitter)
-                dnx, dny, dnz = dirs_cols(
-                    px_b + off[..., 0], py_b + off[..., 1]
+            if _DEBUG_STOP == "gather":
+                probe = (
+                    jnp.sum(pf_t)
+                    + jnp.sum(sh_t.astype(jnp.float32))
+                    + jnp.sum(n_seg_t).astype(jnp.float32)
+                ) * 1e-12
+                return (
+                    jnp.broadcast_to(probe, (tb, rt, 3)),
+                    jnp.ones((tb, rt), jnp.float32),
                 )
+
+            kb = cfg.kernel_batch
+            while tb % kb:
+                kb -= 1
+            # spp folding: stack `fold` samples' rays on the kernel's ray
+            # axis — one shortlist walk serves all folded samples (pf/sh
+            # DMA and per-segment fixed costs amortize; GEMM rows grow
+            # toward the 128-row MXU sweet spot). Cap folded rows at 512
+            # to bound the kernel's VMEM intermediates.
+            fold = max(1, min(spp, 512 // rt))
+            while spp % fold:
+                fold -= 1
+
+            def sample_group(g):
+                offs = [
+                    _tile_offsets(base_key, g * fold + j, tid_b, rt, jitter)
+                    for j in range(fold)
+                ]
+                cols = [
+                    dirs_cols(px_b + off[..., 0], py_b + off[..., 1])
+                    for off in offs
+                ]
+                dnx = jnp.concatenate([c[0] for c in cols], axis=1)
+                dny = jnp.concatenate([c[1] for c in cols], axis=1)
+                dnz = jnp.concatenate([c[2] for c in cols], axis=1)
                 zrow = jnp.zeros_like(dnx)
                 d8 = jnp.stack(
                     [dnx, dny, dnz, zrow, zrow, zrow, zrow, zrow], axis=1
-                )  # [Tb, 8, RT]
-                kb = cfg.kernel_batch
-                while tb % kb:
-                    kb -= 1
+                )  # [Tb, 8, fold*RT]
                 l, beta = composite3.composite_tiles3_ad(
                     d8, pf_t, sh_t, n_seg_t,
                     seg,
@@ -565,15 +648,23 @@ def _render_tiles(
                     d = jnp.stack([dnx, dny, dnz], axis=-1)
                     l = l + beta[..., None] * emitter.eval(d)
                 if cfg.srgb_primitives:
-                    l = srgb_to_linear(l)
-                return l, beta
+                    l = srgb_to_linear(l)  # per sample (rf:188-190)
+                # sum folded samples: [Tb, fold*RT, 3] -> [Tb, RT, 3]
+                l = jnp.sum(l.reshape(tb, fold, rt, 3), axis=1)
+                return l, beta[:, :rt]
 
-            acc0, beta0 = sample(0)
+            acc0, beta0 = sample_group(0)
 
-            def body(a, i):
-                return a + sample(i)[0], None
+            def body(a, g):
+                return a + sample_group(g)[0], None
 
-            acc_b, _ = jax.lax.scan(body, acc0, jnp.arange(1, spp))
+            n_groups = spp // fold
+            if n_groups > 1:
+                acc_b, _ = jax.lax.scan(
+                    body, acc0, jnp.arange(1, n_groups)
+                )
+            else:
+                acc_b = acc0
             return acc_b, beta0
 
         n_valid0 = jnp.sum(cl_valid, axis=-1)
@@ -591,11 +682,10 @@ def _render_tiles(
             score = jnp.where(n_valid0 >= k_cl, trunc, 0)
             score_sel, sel_t = jax.lax.top_k(score, m)
             k2 = min(cfg.refine_factor * k_cl, state.cull_centers.shape[0])
-            keys_r = jax.vmap(
-                lambda ax, ch: tiling.cone_cull_keys(
-                    origin, ax, ch, state.cull_centers, state.cull_radii
-                )
-            )(axis[sel_t], cos_half[sel_t])
+            keys_r = tiling.cone_cull_keys_batch(
+                origin, axis[sel_t], cos_half[sel_t],
+                state.cull_centers, state.cull_radii,
+            )
             cl_ids_r, cl_valid_r = tiling.shortlist(keys_r, k2)
             acc_r, _ = fused_block(
                 cl_ids_r, cl_valid_r, k2,
