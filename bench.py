@@ -185,13 +185,16 @@ def main():
     kb = int(os.environ.get("BENCH_KB", "4"))
     mc0 = int(os.environ.get("BENCH_MC", "512"))
     rf0 = float(os.environ.get("BENCH_REFINE", "0.125"))
+    cf0 = int(os.environ.get("BENCH_CF", "8"))
+    sg0 = int(os.environ.get("BENCH_SG", "4"))
 
     def build(mc, refine=rf0):
         cfg = rf_tiled.RFTiledConfig(
             max_depth=128, tile_pixels=tp, max_candidates=mc,
             segment=min(256, mc), cluster_size=cs, backend="fused",
             early_exit=True, coarse_group=cg, refine_fraction=refine,
-            refine_factor=4, kernel_batch=kb,
+            refine_factor=4, kernel_batch=kb, coarse_factor=cf0,
+            super_group=sg0,
         )
         state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
         return cfg, state
@@ -202,6 +205,24 @@ def main():
         img = rf_tiled.render_state(st, camera, cfg, None, spp=spp, seed=seed)
         return img, jnp.sum(img)
 
+    # Throughput: K frames per dispatch (seeds vary per frame inside the
+    # scan, so neither the remote memoization nor XLA CSE can collapse
+    # them). A single dispatch through the axon tunnel carries a ~26 ms
+    # fixed round-trip (measured on a trivial jit fn) that is NOT device
+    # time — amortizing it over K frames measures the chip, not the tunnel.
+    k_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+
+    def run_block(st, seed0):
+        def body(acc, i):
+            img = rf_tiled.render_state(
+                st, camera, cfg, None, spp=spp, seed=seed0 + i
+            )
+            return acc + jnp.sum(img), None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(k_frames)
+        )
+        return acc
+
     print(f"compiling on {jax.devices()[0]} ...", file=sys.stderr)
     t0 = time.perf_counter()
     jfn = jax.jit(run)
@@ -210,13 +231,23 @@ def main():
     print(f"compile+first: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     assert np.isfinite(np.asarray(out)).all()
 
+    # single-frame dispatch latency (includes the tunnel round trip)
     times = []
     for i in range(4):
         t0 = time.perf_counter()
         # vary the seed so remote-execution memoization cannot fire
         float(jfn(state, jnp.int32(i + 1))[1])
         times.append(time.perf_counter() - t0)
-    exec_s = float(np.min(times))
+    lat_s = float(np.min(times))
+
+    jblock = jax.jit(run_block)
+    float(jblock(state, jnp.int32(0)))
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        float(jblock(state, jnp.int32(1000 * (i + 1))))
+        times.append(time.perf_counter() - t0)
+    exec_s = float(np.min(times)) / k_frames
     n_rays = width * height * spp
     mrays = n_rays / exec_s / 1e6
 
@@ -271,7 +302,11 @@ def main():
     mse = float(np.mean((img1 - img2) ** 2))
     psnr2x = -10 * np.log10(max(mse, 1e-12))
 
-    stage = {"frame_ms": round(exec_s * 1e3, 1)}
+    stage = {
+        "frame_ms": round(exec_s * 1e3, 1),
+        "dispatch_latency_ms": round(lat_s * 1e3, 1),
+        "frames_per_dispatch": k_frames,
+    }
 
     print(
         f"exec {exec_s * 1e3:.1f} ms for {n_rays} rays over {n_prims} prims "

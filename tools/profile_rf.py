@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--kernel_batch", type=int, default=1)
     ap.add_argument("--coarse_group", type=int, default=4)
+    ap.add_argument("--coarse_factor", type=int, default=8)
+    ap.add_argument("--super_group", type=int, default=4)
+    ap.add_argument("--segment", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -77,10 +80,11 @@ def main():
     cfg = rf_tiled.RFTiledConfig(
         max_depth=128, tile_pixels=args.tile_pixels,
         max_candidates=args.max_candidates,
-        segment=min(256, args.max_candidates),
+        segment=(args.segment or min(256, args.max_candidates)),
         cluster_size=args.cluster_size, backend="fused", early_exit=True,
         coarse_group=args.coarse_group, refine_fraction=args.refine,
         refine_factor=4, kernel_batch=args.kernel_batch,
+        coarse_factor=args.coarse_factor, super_group=args.super_group,
     )
     state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
     spp = args.spp
@@ -128,7 +132,7 @@ def main():
             rf_tiled._DEBUG_STOP = None
 
     # ---- in-frame stage stops (the real pipeline, stopped early) ---------
-    for stop in ("cull", "gather"):
+    for stop in ("cull", "pack", "gather_pf", "gather"):
         if f"in_{stop}" in stages:
             rf_tiled._DEBUG_STOP = stop
             try:
@@ -313,10 +317,15 @@ def main():
             pf_t = jnp.where(
                 valid_row[:, None, :], pf_t, neutral[None, :, None]
             )
-            sh_t = jnp.take(
-                state.sh48h.reshape(ncl, cs, 48), ci.reshape(-1), axis=0,
-                mode="clip",
-            ).reshape(n_tiles, s_here, 48)
+            k_live = state.prims.sh_coeffs_3d().shape[1]
+            sh_small = jnp.take(
+                state.shrows, ci.reshape(-1), axis=0, mode="clip"
+            )
+            sh_t = (
+                sh_small.reshape(n_tiles, k_cl, 3 * k_live, cs)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_tiles, 3 * k_live, s_here)
+            )
             return pf_t, sh_t
 
         if "gather" in stages:

@@ -126,6 +126,12 @@ class RFTiledState:
     opac: jnp.ndarray  # [N]
     sh48: jnp.ndarray  # [N, 48] channel-major SH blocks of 16
     sh48h: jnp.ndarray  # [N, 48] bf16 copy (fused-path gathers + kernel DMA)
+    # [Ncl, 3k*cs] bf16 cluster rows, each a feature-major [3k, cs] block
+    # (k live coefficients x 3 channels): the fused path gathers these and
+    # feeds the kernel the [T, 3k, S] rows layout (lanes = S, so no 48-wide
+    # lane padding; the per-frame [..., :k] slice relayout of sh48h cost
+    # ~14 ms/frame in-frame).
+    shrows: jnp.ndarray = None
     sup_centers: jnp.ndarray = None  # [Nsup, 3] supercluster spheres
     sup_radii: jnp.ndarray = None  # [Nsup]
     extent: float = dataclasses.field(default=3.0, metadata=dict(static=True))
@@ -162,6 +168,18 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
     sh48 = jnp.zeros((n, 48), jnp.float32)
     for ch in range(3):
         sh48 = sh48.at[:, ch * 16:ch * 16 + k].set(sh_coeffs[:, :, ch])
+    if cfg.use_clusters:
+        cs = cfg.cluster_size
+        ncl = n // cs
+        shr = sh_coeffs.transpose(0, 2, 1).reshape(n, 3 * k)  # ch-major
+        shrows = (
+            shr.reshape(ncl, cs, 3 * k)
+            .transpose(0, 2, 1)
+            .reshape(ncl, 3 * k * cs)
+            .astype(jnp.bfloat16)
+        )
+    else:
+        shrows = None
     sup_centers, sup_radii = clusters.build_super_spheres(
         cull_centers, cull_radii, cfg.super_group
     )
@@ -173,6 +191,7 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
         opac=work.attrs["opacities"][:, 0],
         sh48=sh48,
         sh48h=sh48.astype(jnp.bfloat16),
+        shrows=shrows,
         sup_centers=sup_centers,
         sup_radii=sup_radii,
         extent=float(primitives.extent),
@@ -516,6 +535,12 @@ def _render_tiles(
             ptab.reshape(16, ncl, cs).transpose(1, 0, 2).reshape(ncl, 16 * cs)
         )
 
+        if _DEBUG_STOP == "pack":
+            probe = (
+                jnp.sum(cl_ids) + jnp.sum(cl_valid)
+            ).astype(jnp.float32) * 1e-12 + jnp.sum(ptab_rows) * 1e-12
+            return jnp.broadcast_to(probe, (n_tiles, rt, 3))
+
         if _DEBUG_STOP == "cull":
             probe = (jnp.sum(cl_ids) + jnp.sum(cl_valid)).astype(
                 jnp.float32
@@ -553,31 +578,28 @@ def _render_tiles(
             pf_t = jnp.where(
                 valid_row[:, None, :], pf_t, neutral[None, :, None]
             )
-            # SH: gather only the LIVE coefficients (a degree-1 asset uses
-            # 12 of the 48 padded slots; dynamic gathers are ~15x slower
-            # than dense writes, so gather small then zero-pad densely into
-            # the kernel's channel-major 48 layout)
+            if _DEBUG_STOP == "gather_pf":
+                probe = (
+                    jnp.sum(pf_t) + jnp.sum(n_seg_t).astype(jnp.float32)
+                ) * 1e-12
+                return (
+                    jnp.broadcast_to(probe, (tb, rt, 3)),
+                    jnp.ones((tb, rt), jnp.float32),
+                )
+            # SH: cluster rows of live coefficients from the prebuilt
+            # feature-major table (state.shrows [Ncl, 3k*cs]) — one wide
+            # gather + one [tb, K, 3k, cs] -> [tb, 3k, S] transpose. Invalid
+            # slots need no masking: their pf rows are neutral (opacity 0),
+            # so their emission weight is exactly zero.
             k_live = _basis_count(state)
-            if k_live < 16:
-                shp = state.sh48h.reshape(ncl, cs, 3, 16)[..., :k_live]
-                sh_small = jnp.take(
-                    shp.reshape(ncl, cs * 3 * k_live), cl_i.reshape(-1),
-                    axis=0, mode="clip",
-                ).reshape(tb, s_here, 3, k_live)
-                sh_t = jnp.concatenate(
-                    [
-                        sh_small,
-                        jnp.zeros(
-                            (tb, s_here, 3, 16 - k_live), sh_small.dtype
-                        ),
-                    ],
-                    axis=-1,
-                ).reshape(tb, s_here, 48)
-            else:
-                sh_t = jnp.take(
-                    state.sh48h.reshape(ncl, cs, 48), cl_i.reshape(-1),
-                    axis=0, mode="clip",
-                ).reshape(tb, s_here, 48)
+            sh_small = jnp.take(
+                state.shrows, cl_i.reshape(-1), axis=0, mode="clip"
+            )
+            sh_t = (
+                sh_small.reshape(tb, k_here, 3 * k_live, cs)
+                .transpose(0, 2, 1, 3)
+                .reshape(tb, 3 * k_live, s_here)
+            )
             if resort:
                 # exact per-primitive view depth from the packed rows
                 # (w = o - c lives at rows 9:12 — no extra gathers); the
@@ -590,7 +612,7 @@ def _render_tiles(
                 depth = jnp.where(valid_row, depth, jnp.inf)
                 order = jnp.argsort(depth, axis=-1)
                 pf_t = jnp.take_along_axis(pf_t, order[:, None, :], axis=2)
-                sh_t = jnp.take_along_axis(sh_t, order[..., None], axis=1)
+                sh_t = jnp.take_along_axis(sh_t, order[:, None, :], axis=2)
 
             if _DEBUG_STOP == "gather":
                 probe = (

@@ -241,8 +241,10 @@ def _fwd3_kernel(
         dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
         basis_h = basis.astype(sh_ref.dtype)
 
+        sh_rows = sh_ref.shape[2] == pf_ref.shape[2]  # [B, 3k, S] layout
+
         def seg_body(si, carry, b=b, f6=f6, d3=d3, dx=dx, dy=dy, dz=dz,
-                     basis_h=basis_h):
+                     basis_h=basis_h, sh_rows=sh_rows):
             log_beta, lr, lg, lb_, count = carry
             sl = pl.ds(si * seg, seg)
             pfT = pf_ref[b, :, sl]  # [16, C] — native transposed layout
@@ -267,10 +269,18 @@ def _fwd3_kernel(
 
             acc = []
             for ch in range(3):
-                sh_ch = sh_ref[b, sl, pl.ds(ch * 16, 16)]  # [C, 16]
-                e_ch = jax.lax.dot_general(
-                    basis_h, sh_ch, _DN_T, preferred_element_type=f32
-                )
+                if sh_rows:
+                    # feature-major [3k, S] table: channel block = k rows
+                    sh_ch = sh_ref[b, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
+                    e_ch = jax.lax.dot_general(
+                        basis_h[:, :sh_k], sh_ch, _DN_N,
+                        preferred_element_type=f32,
+                    )
+                else:
+                    sh_ch = sh_ref[b, sl, pl.ds(ch * 16, 16)]  # [C, 16]
+                    e_ch = jax.lax.dot_general(
+                        basis_h, sh_ch, _DN_T, preferred_element_type=f32
+                    )
                 e_ch = jnp.maximum(e_ch + 0.5, 0.0)
                 acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
 
@@ -452,22 +462,41 @@ def _bwd3_subtile(
         exp_lw = jnp.exp(lw)
         w_ = jnp.where(alive, exp_lw * alpha, 0.0)
 
+        sh_rows = sh_ref.shape[2] == pf_ref.shape[2]  # [B, 3k, S] layout
         g_w = jnp.zeros((rt, seg), f32)
         for ch in range(3):
-            sh_ch = sh_ref[sb, sl, pl.ds(ch * 16, 16)]
-            e_raw = jax.lax.dot_general(
-                basis_h, sh_ch, _DN_T, preferred_element_type=f32
-            ) + 0.5
+            if sh_rows:
+                sh_ch = sh_ref[sb, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
+                e_raw = jax.lax.dot_general(
+                    basis_h[:, :sh_k], sh_ch, _DN_N,
+                    preferred_element_type=f32,
+                ) + 0.5
+            else:
+                sh_ch = sh_ref[sb, sl, pl.ds(ch * 16, 16)]
+                e_raw = jax.lax.dot_general(
+                    basis_h, sh_ch, _DN_T, preferred_element_type=f32
+                ) + 0.5
             e_ch = jnp.maximum(e_raw, 0.0)
             g_w = g_w + g_l[:, ch:ch + 1] * e_ch
             g_e = jnp.where(e_raw > 0.0, g_l[:, ch:ch + 1] * w_, 0.0)
-            g_sh_ch = jax.lax.dot_general(
-                g_e, basis, _DN_TT, precision=hp, preferred_element_type=f32
-            )  # [C, 16]
-            gsh_ref[sb, sl, pl.ds(ch * 16, 16)] = (
-                gsh_ref[sb, sl, pl.ds(ch * 16, 16)]
-                + g_sh_ch.astype(gsh_ref.dtype)
-            )
+            if sh_rows:
+                g_sh_ch = jax.lax.dot_general(
+                    basis[:, :sh_k], g_e, _DN_T0,
+                    precision=hp, preferred_element_type=f32,
+                )  # [k, C]
+                gsh_ref[sb, pl.ds(ch * sh_k, sh_k), sl] = (
+                    gsh_ref[sb, pl.ds(ch * sh_k, sh_k), sl]
+                    + g_sh_ch.astype(gsh_ref.dtype)
+                )
+            else:
+                g_sh_ch = jax.lax.dot_general(
+                    g_e, basis, _DN_TT, precision=hp,
+                    preferred_element_type=f32,
+                )  # [C, 16]
+                gsh_ref[sb, sl, pl.ds(ch * 16, 16)] = (
+                    gsh_ref[sb, sl, pl.ds(ch * 16, 16)]
+                    + g_sh_ch.astype(gsh_ref.dtype)
+                )
 
         g_lw = g_w * w_
         g_cs_excl = g_lw
@@ -575,7 +604,9 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
             ),
             pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
             pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec((batch, s, 48), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
+            ),
             pl.BlockSpec((seg, seg), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((batch, rt, 8), lambda i: (i, 0, 0)),
@@ -644,18 +675,22 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
             ),
             pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
             pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec((batch, s, 48), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
+            ),
             pl.BlockSpec((seg, seg), lambda i: (0, 0)),
             pl.BlockSpec((batch, rt, 3), lambda i: (i, 0, 0)),
             pl.BlockSpec((batch, 1, rt), lambda i: (i, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec((batch, s, 48), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t, _FEAT, s), jnp.float32),
-            jax.ShapeDtypeStruct((t, s, 48), sh3.dtype),
+            jax.ShapeDtypeStruct(sh3.shape, sh3.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((n_seg, rt), jnp.float32),
