@@ -364,6 +364,41 @@ def main():
         float(fn(jnp.int32(0)))
         report("kernel", *_timeit(fn, 400, args.reps))
 
+    for abl in ("nodepth", "noemis", "notrans", "nocum", "noop"):
+        if f"abl_{abl}" in stages:
+            composite3._ABL = frozenset([abl])
+            try:
+                jfn_a = jax.jit(kern)
+                fn_a = lambda s: jfn_a(s, d8, pf_t, sh_t, n_seg_t)
+                float(fn_a(jnp.int32(0)))
+                report(f"abl_{abl}", *_timeit(fn_a, 450, args.reps))
+            finally:
+                composite3._ABL = frozenset()
+
+    if "segstats" in stages:
+        if "kernel" not in stages:
+            raise SystemExit("segstats needs the kernel stage data")
+        raw = jax.jit(
+            lambda: composite3._forward3(
+                d8, pf_t, sh_t, n_seg_t, cfg.segment, 9.0, 128, 0.01, 1, 4,
+                True, True, jax.default_backend() == "cpu",
+                args.kernel_batch,
+            )
+        )()
+        walked = np.asarray(raw[:, 0, 4])
+        live = np.asarray(raw[:, 0, 5])
+        beta = np.asarray(raw[..., 3])
+        unsat = (beta > 0.01).mean(axis=1)
+        print(
+            f"segstats: walked mean {walked.mean():.2f} p50"
+            f" {np.percentile(walked, 50):.0f} p90"
+            f" {np.percentile(walked, 90):.0f} max {walked.max():.0f} |"
+            f" live mean {live.mean():.2f} | walked/live"
+            f" {walked.sum() / max(live.sum(), 1):.2%} |"
+            f" unsat rays/tile mean {unsat.mean():.2%}",
+            flush=True,
+        )
+
     print("summary:", {k: round(v, 1) for k, v in results.items()},
           flush=True)
 

@@ -134,6 +134,12 @@ class RFTiledState:
     shrows: jnp.ndarray = None
     sup_centers: jnp.ndarray = None  # [Nsup, 3] supercluster spheres
     sup_radii: jnp.ndarray = None  # [Nsup]
+    # [Nsup + 1, 4*sg] cluster-sphere rows, each a feature-major [4, sg]
+    # block (cx, cy, cz, r) of the sup's member clusters; trailing neutral
+    # row has r = -1 (never hits). The two-level cull gathers these wide
+    # rows instead of 4 scalar-column gathers (~5 ns/element -> ~5 ms/frame
+    # at [256 strips, 1024 candidates]).
+    suprows: jnp.ndarray = None
     extent: float = dataclasses.field(default=3.0, metadata=dict(static=True))
     clustered: bool = dataclasses.field(default=True, metadata=dict(static=True))
     cluster_size: int = dataclasses.field(default=64, metadata=dict(static=True))
@@ -183,6 +189,26 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
     sup_centers, sup_radii = clusters.build_super_spheres(
         cull_centers, cull_radii, cfg.super_group
     )
+    sg = cfg.super_group
+    nsup = sup_centers.shape[0]
+    pad_cl = nsup * sg - cull_centers.shape[0]
+    def _col(x, fill):
+        x = jnp.pad(x, (0, pad_cl), constant_values=fill)
+        return x.reshape(nsup, sg)
+    suprows = jnp.concatenate(
+        [
+            _col(cull_centers[:, 0], 0.0), _col(cull_centers[:, 1], 0.0),
+            _col(cull_centers[:, 2], 0.0), _col(cull_radii, -1.0),
+        ],
+        axis=1,
+    )  # [Nsup, 4*sg], feature-major [4, sg] blocks
+    suprows = jnp.concatenate(
+        [
+            suprows,
+            jnp.zeros((1, 4 * sg)).at[0, 3 * sg:].set(-1.0),
+        ],
+        axis=0,
+    )
     return RFTiledState(
         prims=work,
         cull_centers=cull_centers,
@@ -194,6 +220,7 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
         shrows=shrows,
         sup_centers=sup_centers,
         sup_radii=sup_radii,
+        suprows=suprows,
         extent=float(primitives.extent),
         clustered=cfg.use_clusters,
         cluster_size=cfg.cluster_size,
@@ -336,14 +363,38 @@ def render_state(
 
     basis_k = state.sh48.shape[1] and _basis_count(state)
 
-    # pixel coordinates in tile order: [T, RT]
-    ys = jnp.arange(h).reshape(n_ty, th)
-    xs = jnp.arange(w).reshape(n_tx, tw)
+    # Tile ordering: consecutive `coarse_group` tiles form one coarse cull
+    # strip, so order tiles so each strip is a near-SQUARE gb_y x gb_x block
+    # of tiles (row-consecutive strips are elongated — e.g. 16 8x8 tiles =
+    # a 128x8-pixel sliver whose bounding cone covers ~4x the solid angle
+    # of the 32x32 block, wasting the strip's coarse candidate budget).
+    gc = max(1, cfg.coarse_group)
+    gb_y = max(1, int(round(gc ** 0.5)))
+    while gb_y > 1 and (gc % gb_y or n_ty % gb_y or n_tx % (gc // gb_y)):
+        gb_y -= 1
+    gb_x = gc // gb_y if gc % gb_y == 0 and n_tx % (gc // gb_y) == 0 else 1
+    if gb_x == 1:
+        gb_y = 1  # fall back to row-consecutive strips
+    n_gy, n_gx = n_ty // gb_y, n_tx // gb_x
+    import numpy as onp
+
+    ty_blk = onp.arange(n_ty).reshape(n_gy, gb_y)
+    tx_blk = onp.arange(n_tx).reshape(n_gx, gb_x)
+    ty_of = onp.broadcast_to(
+        ty_blk[:, None, :, None], (n_gy, n_gx, gb_y, gb_x)
+    ).reshape(-1)
+    tx_of = onp.broadcast_to(
+        tx_blk[None, :, None, :], (n_gy, n_gx, gb_y, gb_x)
+    ).reshape(-1)
+
+    # pixel coordinates in (block-major) tile order: [T, RT]
+    ys = jnp.arange(h).reshape(n_ty, th)[ty_of]  # [T, th]
+    xs = jnp.arange(w).reshape(n_tx, tw)[tx_of]  # [T, tw]
     py0 = jnp.broadcast_to(
-        ys[:, None, :, None], (n_ty, n_tx, th, tw)
+        ys[:, :, None], (n_tiles, th, tw)
     ).reshape(n_tiles, rt).astype(jnp.float32)
     px0 = jnp.broadcast_to(
-        xs[None, :, None, :], (n_ty, n_tx, th, tw)
+        xs[:, None, :], (n_tiles, th, tw)
     ).reshape(n_tiles, rt).astype(jnp.float32)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 
@@ -377,8 +428,12 @@ def render_state(
             out_specs=P(axis),
             check_rep=False,
         )(state, emitter, px0, py0, tile_ids, base_key)
-    img = acc.reshape(n_ty, n_tx, th, tw, 3).transpose(0, 2, 1, 3, 4)
-    return img.reshape(h, w, 3)
+    img = (
+        acc.reshape(n_gy, n_gx, gb_y, gb_x, th, tw, 3)
+        .transpose(0, 2, 4, 1, 3, 5, 6)
+        .reshape(h, w, 3)
+    )
+    return img
 
 
 def _render_tiles(
@@ -481,11 +536,20 @@ def _render_tiles(
             ).reshape(n_coarse, k_sup * sg) & (cl_c < ncl_total)
             cl_c = jnp.minimum(cl_c, ncl_total - 1)
             k_c = k_sup * sg
-            # per-tile keys against the strip's survivors only
-            ccx = state.cull_centers[:, 0][cl_c]
-            ccy = state.cull_centers[:, 1][cl_c]
-            ccz = state.cull_centers[:, 2][cl_c]
-            ccr = jnp.where(cl_c_valid, state.cull_radii[cl_c], -1.0)
+            # per-tile keys against the strip's survivors only; member
+            # cluster spheres come as wide [4, sg] supercluster rows (one
+            # gather + relayout — scalar-column gathers cost ~5 ns/element)
+            nsup_t = state.suprows.shape[0] - 1
+            sup_safe = jnp.where(sup_valid, sup_ids, nsup_t)
+            rows_c = jnp.take(
+                state.suprows, sup_safe.reshape(-1), axis=0, mode="clip"
+            )
+            cc = (
+                rows_c.reshape(n_coarse, k_sup, 4, sg)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_coarse, 4, k_c)
+            )
+            ccx, ccy, ccz, ccr = cc[:, 0], cc[:, 1], cc[:, 2], cc[:, 3]
             rep = lambda a: jnp.repeat(a, gc, axis=0)
             keys = tiling.cone_cull_keys_cols(
                 origin, axis, cos_half,
@@ -497,7 +561,9 @@ def _render_tiles(
                 pad = ((0, 0), (0, k_cl - k_c))
                 cl_ids = jnp.pad(cl_ids, pad)
                 cl_valid = jnp.pad(cl_valid, pad)
+            strip_cand = (cl_c, ccx, ccy, ccz, ccr, gc)
         else:
+            strip_cand = None
             keys = tiling.cone_cull_keys_batch(
                 origin, axis, cos_half, state.cull_centers, state.cull_radii
             )
@@ -704,11 +770,29 @@ def _render_tiles(
             score = jnp.where(n_valid0 >= k_cl, trunc, 0)
             score_sel, sel_t = jax.lax.top_k(score, m)
             k2 = min(cfg.refine_factor * k_cl, state.cull_centers.shape[0])
-            keys_r = tiling.cone_cull_keys_batch(
-                origin, axis[sel_t], cos_half[sel_t],
-                state.cull_centers, state.cull_radii,
-            )
-            cl_ids_r, cl_valid_r = tiling.shortlist(keys_r, k2)
+            if strip_cand is not None:
+                # re-cull against the tile's strip candidates (already
+                # collected, coarse_factor x the base budget) instead of
+                # every cluster: the full [m, Ncl] keys + top-k was the
+                # refine pass's dominant cost
+                cl_c_, ccx_, ccy_, ccz_, ccr_, gc_ = strip_cand
+                strip_of = sel_t // gc_
+                keys_r = tiling.cone_cull_keys_cols(
+                    origin, axis[sel_t], cos_half[sel_t],
+                    ccx_[strip_of], ccy_[strip_of], ccz_[strip_of],
+                    ccr_[strip_of],
+                )
+                k2 = min(k2, keys_r.shape[1])
+                loc_r, cl_valid_r = tiling.shortlist(keys_r, k2)
+                cl_ids_r = jnp.take_along_axis(
+                    cl_c_[strip_of], loc_r, axis=-1
+                )
+            else:
+                keys_r = tiling.cone_cull_keys_batch(
+                    origin, axis[sel_t], cos_half[sel_t],
+                    state.cull_centers, state.cull_radii,
+                )
+                cl_ids_r, cl_valid_r = tiling.shortlist(keys_r, k2)
             acc_r, _ = fused_block(
                 cl_ids_r, cl_valid_r, k2,
                 px0[sel_t], py0[sel_t], tile_ids[sel_t], axis[sel_t],

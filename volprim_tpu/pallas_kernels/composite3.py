@@ -44,6 +44,12 @@ from .composite2 import _ray_blocks
 
 _FEAT = 16
 
+# Timing-ablation switches (tools/profile_rf.py kernel_abl stage): entries
+# among {'nodepth', 'noemis', 'notrans', 'nocum'} disable pieces of the
+# forward segment walk AT TRACE TIME to attribute kernel cost. Results are
+# WRONG with any flag set — never enable outside profiling.
+_ABL = frozenset()
+
 # [RT, K] x [C, K] -> [RT, C]
 _DN_T = (((1,), (1,)), ((), ()))
 
@@ -188,9 +194,20 @@ def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
     """Shared forward pair math (recomputed by the backward sweep).
 
     pfT [16, C] — the native transposed block. Returns (a, b, t_peak,
-    p (3-tuple or None), q_raw, q_min, hit, opac, pfT)."""
-    a = _dot3_n(f6, pfT[0:6, :])
-    b = _dot3_n(d3, pfT[6:9, :])
+    p (3-tuple or None), q_raw, q_min, hit, opac, pfT).
+
+    a = F6(d) . m6 and b = d . u contract over only 6 / 3 terms — on the
+    MXU that pads to a 128-deep pass and the bf16x3 emulation needs three
+    of them per product plus hi/lo splits every segment. Rank-1 VPU
+    accumulation ([RT, 1] x [1, C] broadcasts) is cheaper AND exact f32."""
+    a = f6[:, 0:1] * pfT[0:1, :]
+    for i in range(1, 6):
+        a = a + f6[:, i:i + 1] * pfT[i:i + 1, :]
+    b = (
+        d3[:, 0:1] * pfT[6:7, :]
+        + d3[:, 1:2] * pfT[7:8, :]
+        + d3[:, 2:3] * pfT[8:9, :]
+    )
     opac = pfT[12:13, :]
     t_peak = -b / a
     if stable_q:
@@ -252,23 +269,48 @@ def _fwd3_kernel(
             _, _, _, _, _, q_min, hit, opac, _ = _fwd3_core(
                 pfT, f6, d3, dx, dy, dz, extent2, stable_q
             )
-            alpha = jnp.minimum(opac * jnp.exp(-0.5 * q_min), 0.9999)
+            if "notrans" in _ABL:
+                alpha = jnp.minimum(opac * (1.0 - 0.5 * q_min), 0.9999)
+            else:
+                alpha = jnp.minimum(opac * jnp.exp(-0.5 * q_min), 0.9999)
             alpha = jnp.where(hit, alpha, 0.0)
 
-            hitf = jnp.where(alpha > 0.0, 1.0, 0.0)
-            cum_hits = count + jnp.dot(hitf, ut, preferred_element_type=f32)
-            alpha = jnp.where(cum_hits <= max_depth, alpha, 0.0)
-            logt = jnp.log1p(-alpha)
-            lt_hi = logt.astype(jnp.bfloat16).astype(f32)
-            cs_incl = jnp.dot(
-                lt_hi, ut, preferred_element_type=f32
-            ) + jnp.dot(logt - lt_hi, ut, preferred_element_type=f32)
+            if "nodepth" in _ABL:
+                cum_hits = count + jnp.zeros_like(alpha)
+            else:
+                hitf = jnp.where(alpha > 0.0, 1.0, 0.0)
+                cum_hits = count + jnp.dot(
+                    hitf, ut, preferred_element_type=f32
+                )
+                alpha = jnp.where(cum_hits <= max_depth, alpha, 0.0)
+            if "notrans" in _ABL:
+                logt = -alpha
+            else:
+                logt = jnp.log1p(-alpha)
+            if "nocum" in _ABL:
+                cs_incl = jnp.dot(
+                    logt.astype(jnp.bfloat16), ut.astype(jnp.bfloat16),
+                    preferred_element_type=f32,
+                )
+            else:
+                lt_hi = logt.astype(jnp.bfloat16).astype(f32)
+                cs_incl = jnp.dot(
+                    lt_hi, ut, preferred_element_type=f32
+                ) + jnp.dot(logt - lt_hi, ut, preferred_element_type=f32)
             cs_excl = cs_incl - logt
             lw = log_beta + cs_excl
-            w_ = jnp.where(lw > log_kill, jnp.exp(lw) * alpha, 0.0)
+            if "notrans" in _ABL:
+                w_ = jnp.where(lw > log_kill, (1.0 + lw) * alpha, 0.0)
+            else:
+                w_ = jnp.where(lw > log_kill, jnp.exp(lw) * alpha, 0.0)
 
             acc = []
-            for ch in range(3):
+            if "noemis" in _ABL:
+                acc = [
+                    jnp.sum(w_, axis=1, keepdims=True) * sc
+                    for sc in (1.0, 1.01, 1.02)
+                ]
+            for ch in range(3 if "noemis" not in _ABL else 0):
                 if sh_rows:
                     # feature-major [3k, S] table: channel block = k rows
                     sh_ch = sh_ref[b, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
@@ -297,25 +339,40 @@ def _fwd3_kernel(
         n_seg_t = jnp.minimum(
             nseg_ref[0, pl.program_id(0) * batch + b], n_seg
         )
+        if "noop" in _ABL:  # grid + DMA floor: skip the walk entirely
+            n_seg_t = jnp.minimum(n_seg_t, 0)
         if early_exit:
 
             def cond(state, n_seg_t=n_seg_t):
-                si, (log_beta, *_rest) = state
-                return (si < n_seg_t) & (jnp.max(log_beta) > log_kill)
+                # a ray is spent when saturated OR past the hit cap (the
+                # cap zeroes all later alphas, so beta freezes above the
+                # kill threshold and saturation alone never fires — on the
+                # bench scene that left 83% of rays walking the whole
+                # shortlist for nothing)
+                si, (log_beta, _lr, _lg, _lb, count) = state
+                active = (log_beta > log_kill) & (count <= max_depth)
+                return (si < n_seg_t) & jnp.any(active)
 
             def body(state, seg_body=seg_body):
                 si, carry = state
                 return si + 1, seg_body(si, carry)
 
-            _, (log_beta, lr, lg, lb_, _) = jax.lax.while_loop(
+            si_fin, (log_beta, lr, lg, lb_, _) = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), init)
             )
         else:
             log_beta, lr, lg, lb_, _ = jax.lax.fori_loop(
                 0, n_seg_t, seg_body, init
             )
+            si_fin = n_seg_t
+        # col 4: segments actually walked; col 5: live segments (profiling)
         out_ref[b] = jnp.concatenate(
-            [lr, lg, lb_, jnp.exp(log_beta), jnp.zeros((rt, 4), f32)],
+            [
+                lr, lg, lb_, jnp.exp(log_beta),
+                jnp.full((rt, 1), si_fin.astype(f32)),
+                jnp.full((rt, 1), n_seg_t.astype(f32)),
+                jnp.zeros((rt, 2), f32),
+            ],
             axis=1,
         )
 
@@ -352,10 +409,11 @@ def composite_tiles3(
     ``batch``: subtiles processed sequentially per Pallas program (grid =
     T / batch) — use >1 for small tiles so the grid stays in the hundreds.
     """
-    return _forward3(
+    out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch,
     )
+    return out[..., :3], out[..., 3]
 
 
 # [RT, C] x [RT, K] -> [C, K]
@@ -619,7 +677,7 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         n_seg_t.astype(jnp.int32).reshape(1, t), d8, pf, sh3,
         jnp.triu(jnp.ones((seg, seg), jnp.float32)),
     )
-    return out[..., :3], out[..., 3]
+    return out
 
 
 @functools.partial(
@@ -634,10 +692,11 @@ def composite_tiles3_ad(
     """Differentiable fused compositor (forward = composite_tiles3; custom
     backward kernel). Gradients flow into pf and sh3; d8 / n_seg_t get
     zeros."""
-    return _forward3(
+    out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch,
     )
+    return out[..., :3], out[..., 3]
 
 
 def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
@@ -646,7 +705,7 @@ def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch,
     )
-    return out, (d8, pf, sh3, n_seg_t)
+    return (out[..., :3], out[..., 3]), (d8, pf, sh3, n_seg_t)
 
 
 def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
