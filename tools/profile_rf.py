@@ -364,9 +364,14 @@ def main():
         float(fn(jnp.int32(0)))
         report("kernel", *_timeit(fn, 400, args.reps))
 
-    for abl in ("nodepth", "noemis", "notrans", "nocum", "noop"):
+    for abl in ("nodepth", "noemis", "notrans", "nocum", "noop", "noop2", "static", "fori"):
         if f"abl_{abl}" in stages:
             composite3._ABL = frozenset([abl])
+            # composite_tiles3 is a module-level jit: _ABL is not in its
+            # cache key, so stale traces would silently measure the REAL
+            # kernel. Clear jit caches (the XLA disk cache still dedups
+            # recompiles of previously seen ablations).
+            jax.clear_caches()
             try:
                 jfn_a = jax.jit(kern)
                 fn_a = lambda s: jfn_a(s, d8, pf_t, sh_t, n_seg_t)
@@ -374,6 +379,58 @@ def main():
                 report(f"abl_{abl}", *_timeit(fn_a, 450, args.reps))
             finally:
                 composite3._ABL = frozenset()
+                jax.clear_caches()
+
+    if "clone" in stages:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _ckern(ns_ref, d_ref, pf_ref, sh_ref, ut_ref, o_ref):
+            v = (
+                ns_ref[0, pl.program_id(0)].astype(jnp.float32)
+                + d_ref[0, 0, 0]
+                + pf_ref[0, 0, 0]
+                + sh_ref[0, 0:1, 0:128].astype(jnp.float32)[0, 0]
+                + ut_ref[0, 0]
+            )
+            o_ref[...] = jnp.zeros(o_ref.shape, jnp.float32) + v
+
+        def clone(seed, d8, pf_t, sh_t, n_seg_t):
+            t = pf_t.shape[0]
+            seg = cfg.segment
+            y = pl.pallas_call(
+                _ckern,
+                grid=(t,),
+                in_specs=[
+                    pl.BlockSpec((1, t), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 8, d8.shape[2]), lambda i: (i, 0, 0)),
+                    pl.BlockSpec((1, 16, pf_t.shape[2]),
+                                 lambda i: (i, 0, 0)),
+                    pl.BlockSpec((1, sh_t.shape[1], sh_t.shape[2]),
+                                 lambda i: (i, 0, 0)),
+                    pl.BlockSpec((seg, seg), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, d8.shape[2], 8), lambda i: (i, 0, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (t, d8.shape[2], 8), jnp.float32
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+            )(
+                n_seg_t.astype(jnp.int32).reshape(1, t),
+                d8 + seed.astype(jnp.float32) * 1e-12, pf_t, sh_t,
+                jnp.triu(jnp.ones((seg, seg), jnp.float32)),
+            )
+            return jnp.sum(y)
+
+        jclone = jax.jit(clone)
+        fnc = lambda s: jclone(s, d8, pf_t, sh_t, n_seg_t)
+        float(fnc(jnp.int32(0)))
+        report("clone", *_timeit(fnc, 350, args.reps))
 
     if "segstats" in stages:
         if "kernel" not in stages:

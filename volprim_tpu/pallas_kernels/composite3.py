@@ -254,6 +254,9 @@ def _fwd3_kernel(
     # thousands crash the remote compile helper; 8x8-pixel tiles need
     # T=4096 at 512^2).
     for b in range(batch):
+        if "noop2" in _ABL:  # skip even the per-program ray-block build
+            out_ref[b] = jnp.zeros((rt, 8), f32) + d_ref[b, 0, 0]
+            continue
         f6, d3, basis = _ray_blocks_t(d_ref, degree, b)
         dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
         basis_h = basis.astype(sh_ref.dtype)
@@ -341,7 +344,9 @@ def _fwd3_kernel(
         )
         if "noop" in _ABL:  # grid + DMA floor: skip the walk entirely
             n_seg_t = jnp.minimum(n_seg_t, 0)
-        if early_exit:
+        if "static" in _ABL:  # full fixed-trip walk (max pipelining)
+            n_seg_t = jnp.int32(n_seg)
+        if early_exit and not ({"static", "fori"} & _ABL):
 
             def cond(state, n_seg_t=n_seg_t):
                 # a ray is spent when saturated OR past the hit cap (the
