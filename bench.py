@@ -321,6 +321,59 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- training-step metric (fused forward + custom-VJP backward) ------
+    train_stats = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            tcfg = rf_tiled.RFTiledConfig(
+                max_depth=128, tile_pixels=tp, max_candidates=mc0,
+                segment=min(256, mc0), cluster_size=cs, backend="fused",
+                early_exit=False,  # while_loop is not reverse-differentiable
+                coarse_group=cg, coarse_factor=cf0, super_group=sg0,
+                kernel_batch=kb, refine_fraction=0.0,
+            )
+            params = dict(
+                centers=scene.centers, scales=scene.scales,
+                quats=scene.quats, opacities=scene.attrs["opacities"],
+                sh=scene.attrs["sh_coeffs"],
+            )
+            ref_img = jnp.zeros((height, width, 3))
+
+            def loss_fn(p, seed):
+                sc = vp.scene.EllipsoidScene(
+                    centers=p["centers"], scales=p["scales"],
+                    quats=p["quats"],
+                    attrs={
+                        "opacities": p["opacities"], "sh_coeffs": p["sh"],
+                    },
+                )
+                st = rf_tiled.build_state(sc, tcfg)
+                img = rf_tiled.render_state(
+                    st, camera, tcfg, None, spp=1, seed=seed
+                )
+                return jnp.mean(jnp.abs(img - ref_img))
+
+            tstep = jax.jit(jax.value_and_grad(loss_fn))
+            l0, g0 = tstep(params, jnp.int32(0))
+            assert np.isfinite(float(l0))
+            assert all(
+                np.isfinite(np.asarray(v)).all() for v in g0.values()
+            )
+            tts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                float(tstep(params, jnp.int32(i + 1))[0])
+                tts.append(time.perf_counter() - t0)
+            train_s = float(np.min(tts))
+            train_stats = {"rf_train_step_ms": round(train_s * 1e3, 1)}
+            print(
+                f"train step (512^2x1spp fwd+bwd+build): "
+                f"{train_s * 1e3:.0f} ms",
+                file=sys.stderr,
+            )
+        except Exception as e:  # keep the headline metric alive
+            print(f"train-step metric failed: {e}", file=sys.stderr)
+
     # ---- smoke-PRB metric (BASELINE config #3, the other headline half) --
     prb_stats = {}
     if os.environ.get("BENCH_PRB", "1") != "0":
@@ -370,6 +423,7 @@ def main():
         "rf_mrays": round(mrays, 3),
         "rf_psnr_vs_2x_shortlist_db": round(psnr2x, 2),
         "stages": stage,
+        **train_stats,
         **prb_stats,
     }
     if np.isfinite(psnr_exact):  # surface scene only (fog has no golden)

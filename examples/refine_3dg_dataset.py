@@ -50,6 +50,12 @@ parser.add_argument("--sh_lr", type=float, default=0.01)
 parser.add_argument("--centers_lr", type=float, default=0.0)
 parser.add_argument("--global_lr", type=float, default=1.0)
 parser.add_argument("--write_image_every", type=int, default=8)
+parser.add_argument(
+    "--renderer", choices=("exact", "tiled"), default="exact",
+    help="'tiled' trains through the tile-culled renderer (the bench "
+    "path; fused Pallas kernel for gaussian, tiled XLA for "
+    "epanechnikov) instead of the exact-order wavefront",
+)
 args = parser.parse_args()
 
 os.makedirs(args.output, exist_ok=True)
@@ -106,13 +112,42 @@ def to_scene(p) -> EllipsoidScene:
     )
 
 
+if args.renderer == "tiled":
+    from volprim_tpu.models import rf_tiled
+
+    tcfg = rf_tiled.RFTiledConfig(
+        max_depth=args.max_depth, kernel_type=args.kernel,
+        tile_pixels=256,
+        max_candidates=2048, segment=256, cluster_size=16,
+        backend="fused" if args.kernel == "gaussian" else "xla",
+        early_exit=False,  # while_loop is not reverse-differentiable
+        coarse_group=4, coarse_factor=8, super_group=4, kernel_batch=4,
+    )
+
+    def render_train(p, spp, seed):
+        st = rf_tiled.build_state(to_scene(p), tcfg)
+        return jnp.concatenate(
+            [
+                rf_tiled.render_state(
+                    st, c, tcfg, None, spp=spp, seed=seed * 131 + i
+                )
+                for i, c in enumerate(cameras)
+            ],
+            axis=1,
+        )  # [H, N*W, 3], same layout as render_batch
+else:
+
+    def render_train(p, spp, seed):
+        return vp.models.render_batch(
+            to_scene(p), cameras, rf.radiance, cfg, None, spp=spp,
+            seed=seed,
+        )
+
+
 @jax.jit
 def train_step(p, state, seed):
     def loss_fn(p):
-        img = vp.models.render_batch(
-            to_scene(p), cameras, rf.radiance, cfg, None,
-            spp=args.opt_spp, seed=seed,
-        )
+        img = render_train(p, args.opt_spp, seed)
         return vp.optimizers.l1(ref_image, img), img
 
     (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
