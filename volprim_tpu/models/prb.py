@@ -426,21 +426,40 @@ def _free_flight_window(
         jnp.isfinite(t1s) & (t1s > t0s) & active[:, None]
     )
 
-    # tau of every segment at once: [R, S, K] broadcast, reduce K.
+    # tau of every segment at once. Gaussian fast path: shared-boundary
+    # antiderivative (1 erf per event-pair, per-pair constants hoisted off
+    # the segment axis) instead of broadcasting density_integral to
+    # [R, S, K] (2 erf + exp + sqrt per segment-pair); also integrates
+    # partial segment coverage exactly instead of by midpoint membership.
     mids = 0.5 * (t0s + t1s)
     cover = (entry[:, None, :] <= mids[:, :, None]) & (
         exit_t[:, None, :] >= mids[:, :, None]
-    )  # [R, S, K]
-    c3 = quadric.QuadricCoeffs(
-        coeffs.a[:, None, :], coeffs.b[:, None, :], coeffs.c[:, None, :]
-    )
-    dens = kern.density_integral(
-        c3, s_prod[:, None, :], None, 0.0,
-        t0s[:, :, None], t1s[:, :, None], cover,
-    )
-    tau_seg = jnp.where(
-        valid_seg, jnp.sum(dens * sigma_t[:, None, :], axis=-1), 0.0
-    )  # [R, S]
+    )  # [R, S, K] (also used by the bisection solver below)
+    if kern.type == "gaussian" and not kern.normalized:
+        from ..ops import kernels as kernel_ops
+
+        ev = jnp.minimum(events, t_limit[:, None])  # [R, 2K]
+        tau_seg = jnp.where(
+            valid_seg,
+            jnp.maximum(
+                kernel_ops.gaussian_segment_taus(
+                    coeffs, s_prod, sigma_t, entry, exit_t, ev
+                ),
+                0.0,
+            ),
+            0.0,
+        )  # [R, S]
+    else:
+        c3 = quadric.QuadricCoeffs(
+            coeffs.a[:, None, :], coeffs.b[:, None, :], coeffs.c[:, None, :]
+        )
+        dens = kern.density_integral(
+            c3, s_prod[:, None, :], None, 0.0,
+            t0s[:, :, None], t1s[:, :, None], cover,
+        )
+        tau_seg = jnp.where(
+            valid_seg, jnp.sum(dens * sigma_t[:, None, :], axis=-1), 0.0
+        )  # [R, S]
 
     cum_excl = jnp.cumsum(tau_seg, axis=-1) - tau_seg
     t_start = trans[:, None] * jnp.exp(-cum_excl)  # T at segment start

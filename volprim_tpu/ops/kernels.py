@@ -103,6 +103,50 @@ def gaussian_integral_segment(
     return _scrub(val, active)
 
 
+def gaussian_segment_taus(
+    coeffs: QuadricCoeffs,  # [R, K] per-pair quadric coefficients
+    s_prod: jnp.ndarray,  # [R, K]
+    sigma_t: jnp.ndarray,  # [R, K]
+    entry: jnp.ndarray,  # [R, K] interval entries (+inf for padding)
+    exit_t: jnp.ndarray,  # [R, K]
+    events: jnp.ndarray,  # [R, E] ascending segment boundaries
+) -> jnp.ndarray:
+    """Optical depth of every boundary segment ``[events[e], events[e+1])``
+    summed over the K Gaussian pairs — the batched form of
+    :func:`gaussian_integral_segment` used by the prb window walk
+    (common.py:207-230 semantics).
+
+    Evaluating the antiderivative F_k at the E *shared* boundaries (clamped
+    into each pair's [entry, exit]) needs ONE erf per (event, pair) and
+    hoists the per-pair exp/sqrt constants out of the segment axis —
+    versus 2 erf + exp + sqrt per (segment, pair) when
+    gaussian_integral_segment is broadcast over segments (the prb profile
+    was dominated by exactly that [R, 2K-1, K] tensor). Clamping also
+    integrates partial segment coverage exactly instead of by
+    midpoint-membership. Returns [R, E-1].
+    """
+    a, b, _ = coeffs
+    inv_sqrt_2a = _INV_SQRT2 / jnp.sqrt(a)
+    pair_ok = jnp.isfinite(entry) & jnp.isfinite(exit_t)
+    c_pair = (
+        jnp.exp(-0.5 * gaussian_q_min(coeffs))
+        / (2.0 * _TWO_PI * s_prod * jnp.sqrt(a))
+        * sigma_t
+    )
+    c_pair = _scrub(c_pair, pair_ok)  # [R, K]
+    lo = jnp.where(pair_ok, entry, 0.0)[:, None, :]
+    hi = jnp.where(pair_ok, exit_t, 0.0)[:, None, :]
+    tcl = jnp.clip(
+        jnp.where(jnp.isfinite(events), events, 0.0)[:, :, None], lo, hi
+    )  # [R, E, K]
+    f = jax.scipy.special.erf(
+        (a[:, None, :] * tcl + b[:, None, :]) * inv_sqrt_2a[:, None, :]
+    )
+    return jnp.sum(
+        c_pair[:, None, :] * (f[:, 1:, :] - f[:, :-1, :]), axis=-1
+    )
+
+
 def gaussian_inv_cdf(
     coeffs: QuadricCoeffs,
     s_prod: jnp.ndarray,
