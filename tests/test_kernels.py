@@ -230,3 +230,51 @@ def test_kernel_dispatch():
     assert k.normalization_factor(jnp.ones((2, 3))).shape == (2,)
     with pytest.raises(ValueError):
         kernels.Kernel("triangle")
+
+
+def test_gaussian_segment_taus_matches_broadcast():
+    """The shared-boundary antiderivative equals the per-segment broadcast
+    of gaussian_integral_segment when segment boundaries subdivide the
+    intervals exactly (the prb window-walk contract)."""
+    import numpy as np
+
+    from volprim_tpu.ops import kernels as K
+    from volprim_tpu.ops.quadric import QuadricCoeffs
+
+    rng = np.random.default_rng(11)
+    r, k = 64, 6
+    a = jnp.asarray(rng.uniform(0.5, 50.0, (r, k)), jnp.float32)
+    b = jnp.asarray(rng.normal(0.0, 3.0, (r, k)), jnp.float32)
+    # keep q_min = c - b^2/a in a lively range
+    c = b * b / a + jnp.asarray(rng.uniform(0.0, 6.0, (r, k)), jnp.float32)
+    coeffs = QuadricCoeffs(a, b, c)
+    s_prod = jnp.asarray(rng.uniform(0.01, 1.0, (r, k)), jnp.float32)
+    sigma = jnp.asarray(rng.uniform(0.1, 5.0, (r, k)), jnp.float32)
+    entry = jnp.asarray(np.sort(rng.uniform(0.0, 4.0, (r, k)), axis=-1),
+                        jnp.float32)
+    exit_t = entry + jnp.asarray(rng.uniform(0.05, 2.0, (r, k)), jnp.float32)
+    # padding rows like the window walk produces
+    entry = entry.at[:, -1].set(jnp.inf)
+    exit_t = exit_t.at[:, -1].set(jnp.inf)
+    events = jnp.sort(jnp.concatenate([entry, exit_t], axis=-1), axis=-1)
+
+    taus = K.gaussian_segment_taus(coeffs, s_prod, sigma, entry, exit_t,
+                                   events)
+    assert np.isfinite(np.asarray(taus)).all()
+
+    t0s, t1s = events[:, :-1], events[:, 1:]
+    mids = 0.5 * (t0s + t1s)
+    cover = (entry[:, None, :] <= mids[:, :, None]) & (
+        exit_t[:, None, :] >= mids[:, :, None]
+    )
+    c3 = QuadricCoeffs(a[:, None, :], b[:, None, :], c[:, None, :])
+    dens = K.gaussian_integral_segment(
+        c3, s_prod[:, None, :], t0s[:, :, None], t1s[:, :, None], cover
+    )
+    ref = jnp.sum(dens * sigma[:, None, :], axis=-1)
+    valid = jnp.isfinite(t1s) & (t1s > t0s)
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(valid, taus, 0.0)),
+        np.asarray(jnp.where(valid, ref, 0.0)),
+        rtol=2e-4, atol=2e-5,
+    )

@@ -394,3 +394,66 @@ def test_kernel_batch_bitwise_and_small_tiles():
     np.testing.assert_array_equal(
         np.asarray(g1.attrs["opacities"]), np.asarray(g4.attrs["opacities"])
     )
+
+
+def test_strip_candidate_refinement_matches_full_recull():
+    """With two-level culling, the refine pass re-culls against the strip's
+    candidate list; when that list covers the refined budget it must match
+    a base pass with the refined shortlist size (up to clusters outside
+    the smaller base pass's strip list — a handful of far-tail pixels)."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False, tile_pixels=256,
+        segment=128, use_clusters=True, cluster_size=16, backend="fused",
+        coarse_group=4, coarse_factor=8, super_group=4,
+    )
+    refined = np.asarray(rf_tiled.render(
+        s, cam,
+        rf_tiled.RFTiledConfig(
+            max_candidates=512, refine_fraction=1.0, refine_factor=2, **kw
+        ),
+        None, spp=1, seed=0, jitter=False,
+    ))
+    big = np.asarray(rf_tiled.render(
+        s, cam, rf_tiled.RFTiledConfig(max_candidates=1024, **kw),
+        None, spp=1, seed=0, jitter=False,
+    ))
+    mse = np.mean((refined - big) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 55.0, psnr
+
+
+def test_block_major_tile_order_small_tiles():
+    """coarse_group strips are 2D tile blocks: the film reconstruction must
+    be loss-free for every (tile, group) shape (cg=16 at 8x8 tiles makes
+    4x4 blocks; compare against single-level culling at full budget)."""
+    s = surface_scene(3200, seed=7)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False, tile_pixels=64,
+        max_candidates=3200 // 16 * 16, segment=64, use_clusters=True,
+        cluster_size=16, backend="fused", kernel_batch=4,
+    )
+    a = np.asarray(rf_tiled.render(
+        s, cam, rf_tiled.RFTiledConfig(**kw), None, spp=1, seed=0,
+        jitter=False,
+    ))
+    b = np.asarray(rf_tiled.render(
+        s, cam,
+        rf_tiled.RFTiledConfig(
+            coarse_group=16, coarse_factor=8, super_group=4, **kw
+        ),
+        None, spp=1, seed=0, jitter=False,
+    ))
+    mse = np.mean((a - b) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 45.0, psnr
