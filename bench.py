@@ -328,7 +328,11 @@ def main():
             tcfg = rf_tiled.RFTiledConfig(
                 max_depth=128, tile_pixels=tp, max_candidates=mc0,
                 segment=min(256, mc0), cluster_size=cs, backend="fused",
-                early_exit=False,  # while_loop is not reverse-differentiable
+                # the fused backend stays differentiable with early exit:
+                # composite_tiles3_ad's custom-VJP backward re-walks the
+                # live segments itself (only the XLA backend's while_loop
+                # would break reverse-mode)
+                early_exit=True,
                 coarse_group=cg, coarse_factor=cf0, super_group=sg0,
                 kernel_batch=kb, refine_fraction=0.0,
             )

@@ -115,12 +115,19 @@ def to_scene(p) -> EllipsoidScene:
 if args.renderer == "tiled":
     from volprim_tpu.models import rf_tiled
 
+    fused = args.kernel == "gaussian"
+    # tile shape must divide the (scaled, possibly odd) film dimensions
+    _h, _w = cameras[0].height, cameras[0].width
+    _th = max(dv for dv in range(1, 17) if _h % dv == 0)
+    _tw = max(dv for dv in range(1, 17) if _w % dv == 0)
     tcfg = rf_tiled.RFTiledConfig(
         max_depth=args.max_depth, kernel_type=args.kernel,
-        tile_pixels=256,
+        tile_pixels=_th * _tw,
         max_candidates=2048, segment=256, cluster_size=16,
-        backend="fused" if args.kernel == "gaussian" else "xla",
-        early_exit=False,  # while_loop is not reverse-differentiable
+        backend="fused" if fused else "xla",
+        # the fused kernel's custom VJP keeps early exit differentiable;
+        # the XLA backend's while_loop does not reverse-differentiate
+        early_exit=fused,
         coarse_group=4, coarse_factor=8, super_group=4, kernel_batch=4,
     )
 

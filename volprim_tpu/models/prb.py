@@ -431,11 +431,9 @@ def _free_flight_window(
     # the segment axis) instead of broadcasting density_integral to
     # [R, S, K] (2 erf + exp + sqrt per segment-pair); also integrates
     # partial segment coverage exactly instead of by midpoint membership.
-    mids = 0.5 * (t0s + t1s)
-    cover = (entry[:, None, :] <= mids[:, :, None]) & (
-        exit_t[:, None, :] >= mids[:, :, None]
-    )  # [R, S, K] (also used by the bisection solver below)
-    if kern.type == "gaussian" and not kern.normalized:
+    fast = kern.type == "gaussian" and not kern.normalized \
+        and not kern.full_range
+    if fast:
         from ..ops import kernels as kernel_ops
 
         ev = jnp.minimum(events, t_limit[:, None])  # [R, 2K]
@@ -449,7 +447,19 @@ def _free_flight_window(
             ),
             0.0,
         )  # [R, S]
+
+        def tau_partial(t0, tt):
+            # same clamped antiderivative as tau_seg, so the in-segment CDF
+            # integrates exactly to the segment total used for selection
+            return kernel_ops.gaussian_segment_taus(
+                coeffs, s_prod, sigma_t, entry, exit_t,
+                jnp.stack([t0, tt], axis=-1),
+            )[:, 0]
     else:
+        mids = 0.5 * (t0s + t1s)
+        cover = (entry[:, None, :] <= mids[:, :, None]) & (
+            exit_t[:, None, :] >= mids[:, :, None]
+        )  # [R, S, K]
         c3 = quadric.QuadricCoeffs(
             coeffs.a[:, None, :], coeffs.b[:, None, :], coeffs.c[:, None, :]
         )
@@ -477,7 +487,6 @@ def _free_flight_window(
     r_idx = jnp.arange(entry.shape[0])
     t0 = t0s[r_idx, sel]
     t1 = t1s[r_idx, sel]
-    cover_sel = cover[r_idx, sel]  # [R, K]
     trans_c = t_start[r_idx, sel]
     chi = -jnp.log(
         jnp.maximum(
@@ -485,17 +494,21 @@ def _free_flight_window(
         )
     )
 
-    if solver_type == "disabled":
-        ts = 0.5 * (t0 + t1)  # prb:545-548
-    else:
-        def tau_to(tt):
+    if not fast:
+        cover_sel = cover[r_idx, sel]  # [R, K]
+
+        def tau_partial(t0_, tt):
             dpart = kern.density_integral(
-                coeffs, s_prod, None, 0.0, t0[:, None], tt[:, None], cover_sel
+                coeffs, s_prod, None, 0.0, t0_[:, None], tt[:, None],
+                cover_sel,
             )
             return jnp.sum(dpart * sigma_t, axis=-1)
 
+    if solver_type == "disabled":
+        ts = 0.5 * (t0 + t1)  # prb:545-548
+    else:
         def body(i, tt):
-            tau = tau_to(tt)
+            tau = tau_partial(t0, tt)
             step = (t1 - t0) / (2.0 ** (i.astype(t0.dtype) + 2.0))
             tt = jnp.where(tau > chi, tt - step, tt + step)
             return jnp.clip(tt, t0, t1)
@@ -504,10 +517,7 @@ def _free_flight_window(
     ts = jax.lax.stop_gradient(jnp.where(found, ts, 0.0))
 
     # Differentiable partial transmittance T(0 -> t_s) for the score.
-    dens_part = kern.density_integral(
-        coeffs, s_prod, None, 0.0, t0[:, None], ts[:, None], cover_sel
-    )
-    tau_part = jnp.sum(dens_part * sigma_t, axis=-1)
+    tau_part = tau_partial(t0, ts)
     trans_samp = jnp.where(found, trans_c * jnp.exp(-tau_part), 1.0)
     t_samp = jnp.where(found, ts, jnp.inf)
     trans_out = jnp.where(found, trans_c, trans_out)

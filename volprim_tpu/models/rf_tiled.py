@@ -124,13 +124,13 @@ class RFTiledState:
     cull_radii: jnp.ndarray  # [Ncl or N]
     feats16: jnp.ndarray  # [N, 16] quadric features (10 used)
     opac: jnp.ndarray  # [N]
-    sh48: jnp.ndarray  # [N, 48] channel-major SH blocks of 16
-    sh48h: jnp.ndarray  # [N, 48] bf16 copy (fused-path gathers + kernel DMA)
+    sh48: jnp.ndarray  # [N, 48] channel-major SH blocks of 16 (xla/pallas
+    #                      backends gather this; the fused path uses shrows)
     # [Ncl, 3k*cs] bf16 cluster rows, each a feature-major [3k, cs] block
     # (k live coefficients x 3 channels): the fused path gathers these and
     # feeds the kernel the [T, 3k, S] rows layout (lanes = S, so no 48-wide
-    # lane padding; the per-frame [..., :k] slice relayout of sh48h cost
-    # ~14 ms/frame in-frame).
+    # lane padding; a per-frame [..., :k] slice relayout of a 48-wide bf16
+    # table cost ~14 ms/frame in-frame).
     shrows: jnp.ndarray = None
     sup_centers: jnp.ndarray = None  # [Nsup, 3] supercluster spheres
     sup_radii: jnp.ndarray = None  # [Nsup]
@@ -216,7 +216,6 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
         feats16=feats16,
         opac=work.attrs["opacities"][:, 0],
         sh48=sh48,
-        sh48h=sh48.astype(jnp.bfloat16),
         shrows=shrows,
         sup_centers=sup_centers,
         sup_radii=sup_radii,
@@ -531,9 +530,6 @@ def _render_tiles(
             cl_c = (sup_ids[..., None] * sg + offs_s).reshape(
                 n_coarse, k_sup * sg
             )
-            cl_c_valid = jnp.broadcast_to(
-                sup_valid[..., None], (n_coarse, k_sup, sg)
-            ).reshape(n_coarse, k_sup * sg) & (cl_c < ncl_total)
             cl_c = jnp.minimum(cl_c, ncl_total - 1)
             k_c = k_sup * sg
             # per-tile keys against the strip's survivors only; member

@@ -394,8 +394,13 @@ def composite_tiles3(
     pf: jnp.ndarray,  # [T, 16, S] fused per-prim COLUMNS (transposed
     #                    pack_fused_features rows: [*, 16] arrays are
     #                    lane-padded 8x by the TPU layout)
-    sh3: jnp.ndarray,  # [T, S, 48] (f32 or bf16 — emission GEMM runs in the
-    #                    table dtype with f32 accumulation)
+    sh3: jnp.ndarray,  # [T, 3*sh_k, S] feature-major rows (preferred: k
+    #                    live coefficients x 3 channel blocks, lanes = S) or
+    #                    the legacy [T, S, 48] channel-major layout; f32 or
+    #                    bf16 (emission GEMM runs in the table dtype with
+    #                    f32 accumulation). The layout is detected by
+    #                    sh3.shape[2] == pf.shape[2]; S == 48 would be
+    #                    ambiguous and is rejected in _forward3.
     n_seg_t: jnp.ndarray = None,  # [T] int32 live segments per tile (None =
     #                               all; pad slots beyond must be neutral)
     seg: int = 256,
@@ -649,6 +654,11 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
     s = pf.shape[2]
     assert s % seg == 0
     assert t % batch == 0
+    # layout sniffing (sh rows vs legacy wide) is ambiguous at S == 48
+    assert not (s == 48 and sh3.shape[1] == 48), (
+        "S == 48 with a 48-wide sh3 is ambiguous between the rows and "
+        "legacy layouts; pad the shortlist away from 48"
+    )
     n_seg = s // seg
     if n_seg_t is None:
         n_seg_t = jnp.full((t,), n_seg, jnp.int32)
