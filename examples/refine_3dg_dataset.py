@@ -122,7 +122,7 @@ if args.renderer == "tiled":
     _tw = max(dv for dv in range(1, 17) if _w % dv == 0)
     tcfg = rf_tiled.RFTiledConfig(
         max_depth=args.max_depth, kernel_type=args.kernel,
-        tile_pixels=_th * _tw,
+        tile_pixels=_th * _tw, tile_shape=(_th, _tw),
         max_candidates=2048, segment=256, cluster_size=16,
         backend="fused" if fused else "xla",
         # the fused kernel's custom VJP keeps early exit differentiable;

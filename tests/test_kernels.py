@@ -278,3 +278,118 @@ def test_gaussian_segment_taus_matches_broadcast():
         np.asarray(jnp.where(valid, ref, 0.0)),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_gaussian_segment_taus_padded_events_contribute_zero():
+    """Non-finite (padding) event boundaries map to each pair's exit: a
+    segment whose right boundary is +inf must contribute a NON-NEGATIVE tau
+    (the remaining pair mass), and a fully-padded segment exactly zero —
+    without any caller-side valid_seg masking (advisor round-2 finding)."""
+    import numpy as np
+
+    from volprim_tpu.ops import kernels as K
+    from volprim_tpu.ops.quadric import QuadricCoeffs
+
+    r, k = 4, 3
+    a = jnp.full((r, k), 4.0)
+    b = jnp.full((r, k), -2.0)
+    c = b * b / a + 0.5
+    coeffs = QuadricCoeffs(a, b, c)
+    s_prod = jnp.full((r, k), 0.1)
+    sigma = jnp.full((r, k), 2.0)
+    entry = jnp.tile(jnp.asarray([0.1, 0.3, jnp.inf]), (r, 1))
+    exit_t = jnp.tile(jnp.asarray([1.0, 1.4, jnp.inf]), (r, 1))
+    # events: two real boundaries then +inf padding
+    events = jnp.tile(
+        jnp.asarray([0.1, 0.3, 1.0, 1.4, jnp.inf, jnp.inf]), (r, 1)
+    )
+    taus = np.asarray(
+        K.gaussian_segment_taus(coeffs, s_prod, sigma, entry, exit_t, events)
+    )
+    assert np.isfinite(taus).all()
+    assert (taus >= 0.0).all(), taus
+    # segment [1.4, inf) covers no pair mass (all exits <= 1.4) -> 0;
+    # segment [inf, inf) is pure padding -> 0
+    np.testing.assert_allclose(taus[:, 3], 0.0, atol=1e-7)
+    np.testing.assert_allclose(taus[:, 4], 0.0, atol=1e-7)
+
+
+def test_epanechnikov_inv_cdf_roundtrip():
+    """Closed-form (Cardano) Epanechnikov free-flight inverse: at the
+    returned t, sigma_t * CDF(entry -> t) must equal -log(chi) — checked
+    against the closed-form segment integral AND numerical quadrature of
+    the pdf. The reference raises NotImplementedError here (common.py:
+    279-285); this exceeds parity."""
+    import numpy as np
+
+    from volprim_tpu.ops import kernels as K
+    from volprim_tpu.ops.quadric import QuadricCoeffs
+
+    rng = np.random.default_rng(5)
+    n = 256
+    a = jnp.asarray(rng.uniform(1.0, 40.0, n), jnp.float32)
+    # support entirely at positive t (free-flight domain; the closed-form
+    # segment integral used for verification masks t1 <= 0, and the support
+    # half-width sqrt((1-q_min)/a) <= 1 < t_star here)
+    t_star = jnp.asarray(rng.uniform(2.0, 4.0, n), jnp.float32)
+    b = -a * t_star
+    # q_min inside the support (q < 1)
+    c = b * b / a + jnp.asarray(rng.uniform(0.0, 0.9, n), jnp.float32)
+    coeffs = QuadricCoeffs(a, b, c)
+    s_prod = jnp.asarray(rng.uniform(0.01, 0.5, n), jnp.float32)
+    sigma_t = jnp.asarray(rng.uniform(0.5, 20.0, n), jnp.float32)
+    chi = jnp.asarray(rng.uniform(0.02, 0.98, n), jnp.float32)
+    active = jnp.ones((n,), bool)
+
+    t_s = np.asarray(
+        K.epanechnikov_inv_cdf(coeffs, s_prod, sigma_t, chi, active)
+    )
+    assert np.isfinite(t_s).all()
+
+    # support bounds: q(t) = 1
+    q_min = np.asarray(K.gaussian_q_min(coeffs))
+    t_star = np.asarray(-b / a)
+    half = np.sqrt((1.0 - q_min) / np.asarray(a))
+    tn, tf = t_star - half, t_star + half
+    # within-mass samples must land inside the support
+    tau_total = np.asarray(
+        K.epanechnikov_integral_segment(
+            coeffs, s_prod, jnp.asarray(tn), jnp.asarray(tf), active
+        )
+    ) * np.asarray(sigma_t)
+    in_mass = -np.log(np.asarray(chi)) < tau_total * (1 - 1e-4)
+    assert (t_s[in_mass] > tn[in_mass] - 1e-5).all()
+    assert (t_s[in_mass] < tf[in_mass] + 1e-5).all()
+
+    # closed-form segment integral up to t_s reproduces -log(chi)
+    tau_at = np.asarray(
+        K.epanechnikov_integral_segment(
+            coeffs, s_prod, jnp.asarray(tn), jnp.asarray(t_s), active
+        )
+    ) * np.asarray(sigma_t)
+    np.testing.assert_allclose(
+        tau_at[in_mass], -np.log(np.asarray(chi))[in_mass],
+        rtol=2e-3, atol=2e-4,
+    )
+
+    # quadrature cross-check of the first 16 rows
+    for i in range(16):
+        if not in_mass[i]:
+            continue
+        ts = np.linspace(tn[i], t_s[i], 4001)
+        q = (np.asarray(a)[i] * ts + 2 * np.asarray(b)[i]) * ts + np.asarray(c)[i]
+        pdf = np.maximum(
+            15.0 / (8.0 * np.pi * np.asarray(s_prod)[i]) * (1.0 - q), 0.0
+        )
+        quad = np.trapezoid(pdf, ts) * np.asarray(sigma_t)[i]
+        np.testing.assert_allclose(
+            quad, -np.log(np.asarray(chi)[i]), rtol=3e-3, atol=3e-4
+        )
+
+    # beyond-total-mass samples clamp to the support exit
+    chi_tiny = jnp.full((n,), 1e-12, jnp.float32)
+    t_exit = np.asarray(
+        K.epanechnikov_inv_cdf(coeffs, s_prod, sigma_t, chi_tiny, active)
+    )
+    big = tau_total < -np.log(1e-12) * 0.5
+    np.testing.assert_allclose(t_exit[big], tf[big], rtol=1e-3, atol=1e-4)

@@ -165,3 +165,51 @@ def test_nee_mis_consistency():
     out_no = np.asarray(radiance(s, em, o, d, cfg_no, jax.random.PRNGKey(6)))
     m1, m2 = out_nee.mean(axis=0), out_no.mean(axis=0)
     np.testing.assert_allclose(m1, m2, rtol=0.06)
+
+
+def test_epanechnikov_prb_renders_and_scatters():
+    """prb is kernel-complete for Epanechnikov too (the reference's
+    free-flight raises NotImplementedError for it, common.py:279-285; our
+    bisection solver works on the closed-form cubic segment CDF). A dense
+    absorbing Epanechnikov cloud must attenuate the environment, and the
+    free-flight distribution must match exp(-sigma_t * CDF) against the
+    closed-form segment integral."""
+    cfg = PRBConfig(
+        max_overlaps=4, max_windows=2, chunk_size=8, bounce_cap=16,
+        kernel_type="epanechnikov",
+    )
+    f = scene.EllipsoidsFactory()
+    f.add(mean=[0, 0, 0], scale=0.5, sigma_t=0.35, albedo=0.0)
+    # extent=1: the traced bounds coincide with the q < 1 pdf support. (At
+    # the default extent=3 the polynomial integral over a full crossing is
+    # net-negative and clamps to zero — in the REFERENCE's form too,
+    # common.py:304-321 dr.maximum(density, 0) — so a single-segment
+    # crossing would not attenuate in either implementation.)
+    s = f.build(extent=1.0)
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    n = 4096
+    o, d = dup_rays([0.03, -0.05, -4.0], [0, 0, 1], n)
+    out = np.asarray(radiance(s, em, o, d, cfg, jax.random.PRNGKey(2)))
+    assert np.isfinite(out).all()
+    # absorbing medium: E[L] = analytic transmittance * env
+    coeffs = quadric.ray_prim_coeffs(
+        o[:1], d[:1], s.centers, s.scales, s.quats
+    )
+    valid, tn, tf = quadric.intersect_extent(coeffs, s.extent)
+    dens = kernels.epanechnikov_integral_segment(
+        coeffs, s.scale_prod()[None, :], tn, tf, valid
+    )
+    tr = float(jnp.exp(-jnp.sum(dens * s.attrs["sigma_t"][:, 0], axis=-1))[0])
+    assert 0.05 < tr < 0.95  # the test is vacuous at the extremes
+    np.testing.assert_allclose(out.mean(axis=0), tr, rtol=0.08)
+
+    # scattering variant actually finds interactions
+    f2 = scene.EllipsoidsFactory()
+    f2.add(mean=[0, 0, 0], scale=0.5, sigma_t=0.35, albedo=0.9)
+    s2 = f2.build(extent=1.0)
+    xi = jax.random.uniform(jax.random.PRNGKey(3), (n,), minval=1e-7)
+    found, dead, t_s, alb, _, _ = free_flight(
+        s2, o, d, xi, cfg, jnp.ones((n,), bool)
+    )
+    fr = float(jnp.mean(found))
+    assert abs(fr - (1.0 - tr)) < 0.05, (fr, 1.0 - tr)

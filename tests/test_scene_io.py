@@ -247,3 +247,64 @@ def test_reference_asset_reader_handles_reference_style_file(tmp_path):
     assert back["primitives"].num_prims == 4
     assert back["cameras"][0].fov == 39.0
     assert back["emitter"] is not None
+
+
+def test_mangled_asset_fails_loudly(tmp_path):
+    """Hand-edited assets that the stand-in environment cannot faithfully
+    execute must raise, not silently mis-parse (round-2 advisor finding):
+    nested imports, __import__, unresolved mi.* constructs and unknown
+    plugin types all error; strict=False restores the permissive read."""
+    import pytest
+
+    from volprim_tpu.scene import asset_interop
+
+    def write(body):
+        d = tmp_path / "asset"
+        d.mkdir(exist_ok=True)
+        (d / "__init__.py").write_text(body)
+        return str(d)
+
+    # multi-line import: the old line filter dropped only the first line,
+    # leaving ` ScalarTransform4f as T)` to crash or worse; the AST strip
+    # handles it (this must LOAD fine)
+    p = write(
+        "from mitsuba.scalar_rgb import (\n"
+        "    ScalarTransform4f as T)\n"
+        "OBJECTS = {}\nSENSORS = {}\nEMITTERS = {}\n"
+    )
+    asset_interop.load_reference_asset(p)
+
+    # import inside a function/if: refuse
+    p = write(
+        "def f():\n    import os\n    return 1\n"
+        "OBJECTS = {}\nSENSORS = {}\nEMITTERS = {}\n"
+    )
+    with pytest.raises(ValueError, match="import inside"):
+        asset_interop.load_reference_asset(p)
+
+    # __import__: refuse
+    p = write(
+        "x = __import__('os')\nOBJECTS = {}\nSENSORS = {}\nEMITTERS = {}\n"
+    )
+    with pytest.raises(ValueError, match="__import__"):
+        asset_interop.load_reference_asset(p)
+
+    # unresolved mi.* construct leaking into the dicts: refuse in strict
+    p = write(
+        "import mitsuba as mi\n"
+        "OBJECTS = { 'thing': { 'type': 'ply', 'weird': mi.Unknown } }\n"
+        "SENSORS = {}\nEMITTERS = {}\n"
+    )
+    with pytest.raises(ValueError, match="unresolved Mitsuba"):
+        asset_interop.load_reference_asset(p)
+    asset_interop.load_reference_asset(p, strict=False)
+
+    # unknown emitter plugin type: refuse in strict, skip otherwise
+    p = write(
+        "OBJECTS = {}\nSENSORS = {}\n"
+        "EMITTERS = { 'e': { 'type': 'projector' } }\n"
+    )
+    with pytest.raises(ValueError, match="unknown emitter type"):
+        asset_interop.load_reference_asset(p)
+    out = asset_interop.load_reference_asset(p, strict=False)
+    assert out["emitter"] is None

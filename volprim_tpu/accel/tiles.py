@@ -66,7 +66,10 @@ def cone_cull_keys(
     in_front = depth + radii > 1e-4
     # a sphere containing the origin always intersects
     contains = dist <= radii
-    hit = (inside & in_front) | contains
+    # radius < 0 marks inert padding/neutral slots: never hit (a zero-radius
+    # point test would otherwise give padding centers a finite key whenever
+    # a cone happens to contain them)
+    hit = ((inside & in_front) | contains) & (radii >= 0.0)
     return jnp.where(hit, depth, jnp.inf)
 
 
@@ -99,7 +102,7 @@ def cone_cull_keys_batch(
     wraps = cos_rho[None, :] <= -ch
     inside = wraps | (cos_theta >= ch * cos_rho[None, :] - sh * sin_rho[None, :])
     in_front = depth + radii[None, :] > 1e-4
-    hit = (inside & in_front) | contains[None, :]
+    hit = ((inside & in_front) | contains[None, :]) & (radii[None, :] >= 0.0)
     return jnp.where(hit, depth, jnp.inf)
 
 
@@ -162,5 +165,8 @@ def cone_cull_keys_cols(
     inside = wraps | (cos_theta >= ch * cos_rho - sh * sin_rho)
     in_front = depth + radii > 1e-4
     contains = dist <= radii
-    hit = (inside & in_front) | contains
+    # r < 0 marks padding/neutral member slots (suprows convention): never
+    # hit — without this, any cone containing a padding center (0,0,0) got a
+    # finite key and composited garbage clusters at a fake depth.
+    hit = ((inside & in_front) | contains) & (radii >= 0.0)
     return jnp.where(hit, depth, jnp.inf)

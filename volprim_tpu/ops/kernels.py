@@ -136,8 +136,12 @@ def gaussian_segment_taus(
     c_pair = _scrub(c_pair, pair_ok)  # [R, K]
     lo = jnp.where(pair_ok, entry, 0.0)[:, None, :]
     hi = jnp.where(pair_ok, exit_t, 0.0)[:, None, :]
+    # Non-finite (padding) events map to each pair's EXIT, not 0: a segment
+    # whose right boundary is +inf then contributes F(hi) - F(lo-side) >= 0
+    # instead of F(0) - F(entry) = minus the full pair integral (callers
+    # used to rely on valid_seg masking + maximum(, 0) for that).
     tcl = jnp.clip(
-        jnp.where(jnp.isfinite(events), events, 0.0)[:, :, None], lo, hi
+        jnp.where(jnp.isfinite(events), events, jnp.inf)[:, :, None], lo, hi
     )  # [R, E, K]
     f = jax.scipy.special.erf(
         (a[:, None, :] * tcl + b[:, None, :]) * inv_sqrt_2a[:, None, :]
@@ -217,6 +221,55 @@ def epanechnikov_integral_segment(
         * ((1.0 - q0) * big_t - b0 * big_t * big_t - a * big_t**3 / 3.0)
     )
     return _scrub(val, active)
+
+
+def epanechnikov_inv_cdf(
+    coeffs: QuadricCoeffs,
+    s_prod: jnp.ndarray,
+    sigma_t: jnp.ndarray,
+    chi: jnp.ndarray,
+    active: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact free-flight distance through a single Epanechnikov primitive:
+    solves ``exp(-sigma_t * CDF(t)) = chi`` for t, where CDF integrates the
+    normalized pdf (:func:`epanechnikov_pdf_q`) from the support entry.
+
+    The reference raises ``NotImplementedError`` here (common.py:279-285);
+    the cubic segment CDF *is* invertible in closed form. With the support
+    entry ``tn = t* - sqrt((1 - q_min)/a)`` (t* the peak, q(tn) = 1) and
+    ``h = tn - t* < 0``, the CDF from tn is
+
+        F(tau) = C (-a h tau^2 - a tau^3 / 3),   C = 15 / (8 pi sp),
+
+    so ``sigma_t F(tau) = -log(chi)`` is the depressed cubic
+    ``u^3 - 3 h^2 u + (2 h^3 + 3 chi'/a) = 0`` after ``tau = u - h`` with
+    ``chi' = -log(chi)/(sigma_t C)``. All three roots are real on the
+    physical range (casus irreducibilis); with
+    ``eps = 3 chi' / (2 a |h|^3)`` (the sampled fraction scaled to [0, 2])
+    the branch
+
+        u = 2|h| cos(2 arcsin(sqrt(eps/2)) / 3 - 2 pi / 3)
+
+    maps eps = 0 to tau = 0 and eps = 2 (full mass) to tau = 2|h| (support
+    exit); ``2 arcsin(sqrt(eps/2))`` is the cancellation-free form of
+    ``arccos(1 - eps)``. Samples beyond the total mass clamp to the exit.
+    """
+    a, b, _ = coeffs
+    q_min = gaussian_q_min(coeffs)
+    inside = q_min < 1.0
+    t_star = -b / a
+    habs = jnp.sqrt(jnp.maximum((1.0 - q_min) / a, 0.0))
+    c_norm = 15.0 / (8.0 * jnp.pi * s_prod)
+    chi_p = -jnp.log(jnp.maximum(chi, 1e-30)) / jnp.maximum(
+        sigma_t * c_norm, 1e-30
+    )
+    eps = jnp.clip(
+        1.5 * chi_p / jnp.maximum(a * habs**3, 1e-30), 0.0, 2.0
+    )
+    theta = 2.0 * jnp.arcsin(jnp.sqrt(0.5 * eps))
+    u = 2.0 * habs * jnp.cos(theta / 3.0 - 2.0 * jnp.pi / 3.0)
+    t = t_star + u  # tn + tau = (t* - |h|) + (u + |h|)
+    return jnp.where(active & inside, t, 0.0)
 
 
 def epanechnikov_normalization_factor(scales: jnp.ndarray) -> jnp.ndarray:
@@ -308,6 +361,6 @@ class Kernel:
     ) -> jnp.ndarray:
         if self.type == "gaussian":
             return gaussian_inv_cdf(coeffs, s_prod, sigma_t, chi, active)
-        raise NotImplementedError(
-            "Epanechnikov inv_cdf is not implemented (parity: common.py:279-285)"
-        )
+        # The reference raises NotImplementedError here (common.py:279-285);
+        # the cubic CDF is invertible in closed form — exceeding parity.
+        return epanechnikov_inv_cdf(coeffs, s_prod, sigma_t, chi, active)

@@ -119,18 +119,41 @@ class _NamespaceValue:
 
 def _exec_asset(path: str) -> dict:
     """Execute the asset's __init__.py against the stand-ins; return its
-    globals (OBJECTS / SENSORS / EMITTERS / optionally INTEGRATOR)."""
+    globals (OBJECTS / SENSORS / EMITTERS / optionally INTEGRATOR).
+
+    The header imports (io.py:253-259) are stripped at the *AST* level — a
+    line filter mis-parsed hand-edited assets with multi-line or indented
+    imports (round-2 advisor finding). Imports anywhere but module top
+    level, and ``__import__`` calls, raise instead of executing partially.
+    """
+    import ast
+
     init = join(path, "__init__.py")
     if not exists(init):
         raise FileNotFoundError(f"invalid asset path: {init}")
     with open(init) as f:
         src = f.read()
-    # the header is machine-generated (io.py:253-259): drop its imports and
-    # inject our stand-ins instead
-    body = "\n".join(
-        ln for ln in src.splitlines()
-        if not ln.startswith(("import ", "from "))
-    )
+    tree = ast.parse(src, filename=init)
+    body = []
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            continue  # stand-ins replace the header imports
+        for sub in ast.walk(node):
+            if isinstance(sub, (ast.Import, ast.ImportFrom)):
+                raise ValueError(
+                    f"{init}:{sub.lineno}: import inside a statement — "
+                    "refusing to exec a hand-edited asset the stand-in "
+                    "environment cannot satisfy"
+                )
+            if (
+                isinstance(sub, ast.Name) and sub.id == "__import__"
+            ):
+                raise ValueError(
+                    f"{init}:{sub.lineno}: __import__ is not allowed in "
+                    "asset files"
+                )
+        body.append(node)
+    tree.body = body
     gl = {
         "os": os,
         "join": join,
@@ -141,8 +164,30 @@ def _exec_asset(path: str) -> dict:
         "T": _Transform,
         "__file__": init,
     }
-    exec(compile(body, init, "exec"), gl)
+    exec(compile(tree, init, "exec"), gl)
     return gl
+
+
+def _check_no_standin_leaks(tag: str, obj, path: str = "") -> None:
+    """Raise if a stand-in object leaked into the parsed dictionaries —
+    the signature of an asset using ``mi.<something>`` the stand-ins cannot
+    evaluate (they used to flow through silently as placeholders)."""
+    if isinstance(obj, (_Namespace, _NamespaceValue)):
+        raise ValueError(
+            f"asset {tag}{path}: unresolved Mitsuba construct "
+            f"{getattr(obj, '_name', '<namespace>')!r} — the stand-in "
+            "environment cannot evaluate it (pass strict=False to ignore)"
+        )
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _check_no_standin_leaks(tag, v, f"{path}[{k!r}]")
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            _check_no_standin_leaks(tag, v, f"{path}[{i}]")
+
+
+_KNOWN_SENSORS = ("perspective", "orthographic", "thinlens", "batch")
+_KNOWN_EMITTERS = ("constant", "envmap", "point")
 
 
 def _find_first(d: dict, pred):
@@ -152,18 +197,43 @@ def _find_first(d: dict, pred):
     return None, None
 
 
-def load_reference_asset(path: str, extent: float = 3.0):
+def load_reference_asset(path: str, extent: float = 3.0, strict: bool = True):
     """Load a reference Python-asset directory.
 
     Returns a dict with keys ``primitives`` (EllipsoidScene or None),
     ``cameras`` (list[CameraSpecs]), ``emitter`` (framework emitter or
     None), ``integrator`` (plugin-name string or None) and ``raw`` (the
     executed OBJECTS/SENSORS/EMITTERS dictionaries).
+
+    ``strict`` (default): unknown plugin types and unresolved Mitsuba
+    constructs raise ``ValueError`` instead of being silently skipped —
+    machine-generated assets (io.py:87-273) always pass; hand-edited ones
+    fail loudly (round-2 advisor finding).
     """
     gl = _exec_asset(path)
     objects = gl.get("OBJECTS", {}) or {}
     sensors = gl.get("SENSORS", {}) or {}
     emitters = gl.get("EMITTERS", {}) or {}
+
+    if strict:
+        for tag, d in (
+            ("OBJECTS", objects), ("SENSORS", sensors), ("EMITTERS", emitters)
+        ):
+            _check_no_standin_leaks(tag, d)
+        for name, sd in sensors.items():
+            if isinstance(sd, dict) and sd.get("type") not in _KNOWN_SENSORS:
+                raise ValueError(
+                    f"asset SENSORS[{name!r}]: unknown sensor type "
+                    f"{sd.get('type')!r} (known: {_KNOWN_SENSORS}; pass "
+                    "strict=False to skip it)"
+                )
+        for name, ed in emitters.items():
+            if isinstance(ed, dict) and ed.get("type") not in _KNOWN_EMITTERS:
+                raise ValueError(
+                    f"asset EMITTERS[{name!r}]: unknown emitter type "
+                    f"{ed.get('type')!r} (known: {_KNOWN_EMITTERS}; pass "
+                    "strict=False to skip it)"
+                )
 
     out = {
         "primitives": None,
