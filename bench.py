@@ -192,14 +192,23 @@ def main():
     rf0 = float(os.environ.get("BENCH_REFINE", "0.125"))
     cf0 = int(os.environ.get("BENCH_CF", "8"))
     sg0 = int(os.environ.get("BENCH_SG", "4"))
+    # adaptive per-tile budget classes: "frac:k_clusters,frac:k,..."
+    cls_env = os.environ.get("BENCH_CLASSES", "")
+    classes0 = tuple(
+        (float(p.split(":")[0]), int(p.split(":")[1]))
+        for p in cls_env.split(",") if p
+    )
+    compact0 = os.environ.get("BENCH_COMPACT", "0") == "1"
 
-    def build(mc, refine=rf0):
+    def build(mc, refine=rf0, classes=classes0):
         cfg = rf_tiled.RFTiledConfig(
             max_depth=128, tile_pixels=tp, max_candidates=mc,
             segment=min(256, mc), cluster_size=cs, backend="fused",
-            early_exit=True, coarse_group=cg, refine_fraction=refine,
+            early_exit=True, coarse_group=cg,
+            refine_fraction=0.0 if classes else refine,
             refine_factor=4, kernel_batch=kb, coarse_factor=cf0,
-            super_group=sg0,
+            super_group=sg0, budget_classes=classes,
+            kernel_compact=compact0,
         )
         state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
         return cfg, state
@@ -296,7 +305,10 @@ def main():
         exact = np.load(exact_path).astype(np.float32)
         mse_e = float(np.mean((img1 - exact) ** 2))
         psnr_exact = -10 * np.log10(max(mse_e, 1e-12))
-    cfg2, state2 = build(2 * mc0, refine=0.0)
+    cfg2, state2 = build(
+        2 * mc0, refine=0.0,
+        classes=tuple((f, 2 * k) for f, k in classes0),
+    )
     img2 = np.asarray(
         jax.jit(
             lambda st, s: rf_tiled.render_state(

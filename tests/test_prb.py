@@ -213,3 +213,38 @@ def test_epanechnikov_prb_renders_and_scatters():
     )
     fr = float(jnp.mean(found))
     assert abs(fr - (1.0 - tr)) < 0.05, (fr, 1.0 - tr)
+
+
+def test_adaptive_tail_capacity():
+    """Per-bounce adaptive caps: tail caps equal to the head caps change
+    nothing (bitwise); generous-but-smaller tail caps on a simple medium
+    agree with the full render to MC tolerance."""
+    f = scene.EllipsoidsFactory()
+    f.add(mean=[0, 0, 0], scale=0.5, sigma_t=3.0, albedo=0.8)
+    f.add(mean=[0.4, 0.1, 0.2], scale=0.4, sigma_t=2.0, albedo=0.7)
+    s = f.build()
+    em = envmap.ConstantEmitter(radiance=jnp.ones(3))
+    n = 4096
+    o, d = dup_rays([0.0, 0.0, -4.0], [0, 0, 1], n)
+    base = dict(max_overlaps=4, max_windows=4, chunk_size=8, bounce_cap=16)
+    cfg0 = PRBConfig(**base)
+    cfg_same = PRBConfig(
+        tail_after=1, tail_overlaps=4, tail_windows=4, **base
+    )
+    out0 = np.asarray(radiance(s, em, o, d, cfg0, jax.random.PRNGKey(7)))
+    out_same = np.asarray(
+        radiance(s, em, o, d, cfg_same, jax.random.PRNGKey(7))
+    )
+    np.testing.assert_array_equal(out0, out_same)
+
+    cfg_small = PRBConfig(
+        tail_after=1, tail_overlaps=2, tail_windows=3, tail_budget=64,
+        **base
+    )
+    out_s = np.asarray(
+        radiance(s, em, o, d, cfg_small, jax.random.PRNGKey(7))
+    )
+    assert np.isfinite(out_s).all()
+    np.testing.assert_allclose(
+        out_s.mean(axis=0), out0.mean(axis=0), rtol=0.05
+    )

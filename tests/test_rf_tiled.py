@@ -457,3 +457,166 @@ def test_block_major_tile_order_small_tiles():
     mse = np.mean((a - b) ** 2)
     psnr = -10 * np.log10(max(mse, 1e-12))
     assert psnr > 45.0, psnr
+
+
+def test_negative_radius_never_culled_in():
+    """r < 0 marks padding/neutral sphere slots (suprows convention): they
+    must never get a finite cull key, even when the cone contains their
+    center (advisor round-2 medium finding: neutral rows at (0,0,0) entered
+    shortlists of cones containing the world origin)."""
+    from volprim_tpu.accel import tiles as tiling
+
+    origin = jnp.asarray([0.0, 0.0, -3.0])
+    axis = jnp.asarray([[0.0, 0.0, 1.0]])  # looks straight at the origin
+    cos_half = jnp.asarray([0.95])
+    cx = jnp.asarray([[0.0, 0.0]])
+    cy = jnp.asarray([[0.0, 0.0]])
+    cz = jnp.asarray([[0.0, 0.5]])
+    radii = jnp.asarray([[-1.0, 0.2]])  # slot 0 = padding, slot 1 = real
+    keys = tiling.cone_cull_keys_cols(
+        origin, axis, cos_half, cx, cy, cz, radii
+    )
+    assert not np.isfinite(np.asarray(keys)[0, 0])
+    assert np.isfinite(np.asarray(keys)[0, 1])
+    keys_b = tiling.cone_cull_keys_batch(
+        origin, axis, cos_half,
+        jnp.stack([jnp.zeros(3), jnp.asarray([0.0, 0.0, 0.5])]),
+        jnp.asarray([-1.0, 0.2]),
+    )
+    assert not np.isfinite(np.asarray(keys_b)[0, 0])
+    assert np.isfinite(np.asarray(keys_b)[0, 1])
+
+
+def test_tile_shape_override_odd_film():
+    """Films whose dimensions defeat the greedy tile factorization render
+    with an explicit cfg.tile_shape (advisor round-2 finding)."""
+    s = surface_scene(200)
+    cam = scene.CameraSpecs(
+        name="c", width=50, height=44,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=40, tile_shape=(4, 10), max_candidates=128, segment=64,
+        tile_group=4, use_clusters=False,
+    )
+    img = rf_tiled.render(s, cam, cfg, None, spp=1, seed=0, jitter=False)
+    assert img.shape == (44, 50, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_budget_classes_match_fixed_budget():
+    """Adaptive per-tile budget classes: with class budgets that cover
+    every tile's need, the render equals the fixed-big-budget render (same
+    shortlist contents and depth order; only the segment grouping of the
+    log-space sums differs)."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    base = dict(
+        max_depth=64, srgb_primitives=False, tile_pixels=256,
+        segment=64, cluster_size=16, backend="fused", early_exit=False,
+        kernel_batch=2,
+    )
+    cfg_fix = rf_tiled.RFTiledConfig(max_candidates=6400, **base)
+    cfg_cls = rf_tiled.RFTiledConfig(
+        max_candidates=6400,
+        budget_classes=((0.5, 400), (0.5, 400)), **base
+    )
+    img_fix = np.asarray(
+        rf_tiled.render(s, cam, cfg_fix, None, spp=1, seed=0, jitter=False)
+    )
+    img_cls = np.asarray(
+        rf_tiled.render(s, cam, cfg_cls, None, spp=1, seed=0, jitter=False)
+    )
+    assert np.isfinite(img_cls).all()
+    np.testing.assert_allclose(img_cls, img_fix, rtol=1e-4, atol=1e-5)
+
+    # heterogeneous budgets sized to the scene's need distribution (the
+    # 16 tiles need 66-71 / 119-132 / 219-233 clusters by quartile): class
+    # budgets covering each quartile's need reproduce the full render
+    cfg_h = rf_tiled.RFTiledConfig(
+        max_candidates=6400,
+        budget_classes=((0.25, 80), (0.5, 140), (0.25, 400)), **base
+    )
+    img_h = np.asarray(
+        rf_tiled.render(s, cam, cfg_h, None, spp=1, seed=0, jitter=False)
+    )
+    # uniform budget at the classed AVERAGE (190): truncates the hard
+    # quartile, which the classed render covers
+    cfg_u = rf_tiled.RFTiledConfig(max_candidates=190 * 16, **base)
+    img_u = np.asarray(
+        rf_tiled.render(s, cam, cfg_u, None, spp=1, seed=0, jitter=False)
+    )
+
+    def psnr_vs_fix(img):
+        mse = np.mean((img - img_fix) ** 2)
+        return -10 * np.log10(max(mse, 1e-12))
+
+    # coverage claim: budgets >= per-quartile need reproduce the full
+    # render; the cost-comparable uniform budget truncates the hard tiles
+    assert psnr_vs_fix(img_h) > 40.0, psnr_vs_fix(img_h)
+    assert psnr_vs_fix(img_h) > psnr_vs_fix(img_u) + 3.0, (
+        psnr_vs_fix(img_h), psnr_vs_fix(img_u)
+    )
+
+    # two-level cull path with classes
+    cfg_2l = rf_tiled.RFTiledConfig(
+        max_candidates=1024, coarse_group=4, coarse_factor=8, super_group=4,
+        budget_classes=((0.25, 80), (0.5, 140), (0.25, 240)), **base
+    )
+    img_2l = np.asarray(
+        rf_tiled.render(s, cam, cfg_2l, None, spp=1, seed=0, jitter=False)
+    )
+    assert np.isfinite(img_2l).all()
+    mse = np.mean((img_2l - img_fix) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 28.0, f"two-level classed PSNR {psnr:.1f} dB"
+
+
+def test_kernel_compact_matches_uncompacted():
+    """In-kernel column compaction is exact: the conservative cone-sphere
+    mask only drops columns no ray in the subtile can hit, so the render
+    must match the uncompacted walk (up to the one-hot move's single extra
+    f32 rounding). Gradients (backward walks the uncompacted stream) must
+    also agree."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    base = dict(
+        max_depth=64, srgb_primitives=False, tile_pixels=256,
+        max_candidates=2048, segment=128, cluster_size=16, backend="fused",
+        early_exit=False, kernel_batch=2,
+    )
+    cfg0 = rf_tiled.RFTiledConfig(**base)
+    cfg1 = rf_tiled.RFTiledConfig(kernel_compact=True, **base)
+    img0 = np.asarray(
+        rf_tiled.render(s, cam, cfg0, None, spp=1, seed=0, jitter=False)
+    )
+    img1 = np.asarray(
+        rf_tiled.render(s, cam, cfg1, None, spp=1, seed=0, jitter=False)
+    )
+    assert np.isfinite(img1).all()
+    np.testing.assert_allclose(img1, img0, rtol=5e-4, atol=5e-5)
+
+    # gradients through the compacted forward (custom VJP) stay correct
+    def loss(opac, cfg):
+        import dataclasses as dc
+
+        s2 = dc.replace(s, attrs={**s.attrs, "opacities": opac})
+        st = rf_tiled.build_state(s2, cfg)
+        return jnp.sum(
+            rf_tiled.render_state(st, cam, cfg, None, spp=1, seed=0,
+                                  jitter=False) ** 2
+        )
+
+    g0 = np.asarray(jax.grad(loss)(s.attrs["opacities"], cfg0))
+    g1 = np.asarray(jax.grad(loss)(s.attrs["opacities"], cfg1))
+    np.testing.assert_allclose(g1, g0, rtol=1e-3, atol=1e-5)

@@ -42,6 +42,7 @@ chunks.
 
 from __future__ import annotations
 
+import functools
 import dataclasses
 from typing import Optional
 
@@ -99,6 +100,28 @@ class PRBConfig:
     #                          default (prb:60). Rays needing more die
     #                          (prb:456-459), exactly like the reference's
     #                          budget kill.
+    # Adaptive per-bounce capacity (round 3): bounces >= tail_after run
+    # with these smaller caps (0 = inherit the main cap). Cost per bounce
+    # is proportional to collected intervals + walked window capacity;
+    # scattered rays (bounce >= 1) start inside the medium and resolve in
+    # far fewer intervals than camera rays, so shrinking the tail caps
+    # buys large speedups at the price of budget-killing the rare deep
+    # ray — the same approximation knob as the reference's
+    # max_depth_primitive (prb:60,456-459), applied per bounce.
+    tail_after: int = 1
+    tail_overlaps: int = 0
+    tail_windows: int = 0
+    tail_budget: int = 0
+
+    def tail_cfg(self) -> "PRBConfig":
+        if not (self.tail_overlaps or self.tail_windows or self.tail_budget):
+            return self
+        return dataclasses.replace(
+            self,
+            max_overlaps=self.tail_overlaps or self.max_overlaps,
+            max_windows=self.tail_windows or self.max_windows,
+            collect_budget=self.tail_budget or self.collect_budget,
+        )
 
     @property
     def kernel(self) -> Kernel:
@@ -851,12 +874,12 @@ def radiance(
     cc = cfg.compact_chunk
     use_compact = bool(cc) and r > cc and r % cc == 0
 
-    def _bounce_body(carry, i):
+    def _bounce_body(carry, i, cfg_b):
         if not use_compact:
             o_c, d_c, beta, l_acc, active, prev_pdf, ray_id = carry
             out = _bounce_core(
                 (o_c, d_c, beta, l_acc, active, prev_pdf),
-                i, jax.random.fold_in(key, i),
+                i, jax.random.fold_in(key, i), cfg_b,
             )
             return out + (ray_id,)
         # Active-ray compaction: sort live rays to the front (stable), then
@@ -880,7 +903,7 @@ def radiance(
             def go(_):
                 return _bounce_core(
                     (oc, dc, bc, lc, ac, pc), i,
-                    jax.random.fold_in(ki, ci),
+                    jax.random.fold_in(ki, ci), cfg_b,
                 )
 
             return jax.lax.cond(
@@ -901,17 +924,17 @@ def radiance(
             l2.reshape(r, 3), a2.reshape(r), p2.reshape(r), ray_id,
         )
 
-    @jax.checkpoint
-    def bounce(carry, i):
+    @functools.partial(jax.checkpoint, static_argnums=(2,))
+    def bounce(carry, i, cfg_b):
         # Skip dead bounces entirely (all paths terminated/escaped).
         return jax.lax.cond(
             jnp.any(carry[4]),
-            lambda c: _bounce_body(c, i),
+            lambda c: _bounce_body(c, i, cfg_b),
             lambda c: c,
             carry,
         ), None
 
-    def _bounce_core(carry, i, kb):
+    def _bounce_core(carry, i, kb, cfg_b):
         o_c, d_c, beta, l_acc, active, prev_pdf = carry
         rl = o_c.shape[0]
         k_ff, k_nee, k_phase, k_rr, k_bsdf = jax.random.split(kb, 5)
@@ -928,7 +951,7 @@ def radiance(
 
         xi = jax.random.uniform(k_ff, (rl,), minval=1e-7, maxval=1.0)
         found, dead, t_samp, albedo, score_found, score_escape = free_flight(
-            primitives, o_c, d_c, xi, cfg, active, index=ff_index,
+            primitives, o_c, d_c, xi, cfg_b, active, index=ff_index,
             t_max=t_cap,
         )
         escaped = active & ~found & ~dead
@@ -1063,7 +1086,20 @@ def radiance(
         jnp.ones((r,), o.dtype),  # prev_event_pdf = 1 (prb:95)
         jnp.arange(r, dtype=jnp.int32),  # original film index (compaction)
     )
-    (_, _, _, l_acc, _, _, ray_id), _ = jax.lax.scan(
-        bounce, init, jnp.arange(n_steps)
-    )
+    cfg_tail = cfg.tail_cfg()
+    if cfg_tail is cfg or n_steps <= cfg.tail_after:
+        (_, _, _, l_acc, _, _, ray_id), _ = jax.lax.scan(
+            lambda c, i: bounce(c, i, cfg),
+            init, jnp.arange(n_steps),
+        )
+    else:
+        # adaptive capacity: full caps for the first tail_after bounces
+        # (camera rays cross the whole medium), reduced caps after
+        carry = init
+        for i0 in range(cfg.tail_after):
+            carry, _ = bounce(carry, jnp.int32(i0), cfg)
+        (_, _, _, l_acc, _, _, ray_id), _ = jax.lax.scan(
+            lambda c, i: bounce(c, i, cfg_tail),
+            carry, jnp.arange(cfg.tail_after, n_steps),
+        )
     return jnp.zeros((r, 3), o.dtype).at[ray_id].set(l_acc)

@@ -52,6 +52,10 @@ class RFTiledConfig:
     kernel_type: str = "gaussian"
     srgb_primitives: bool = True
     tile_pixels: int = 1024  # rays per tile (e.g. 32x32)
+    # Explicit (tile_h, tile_w) override: render_state factors tile_pixels
+    # greedily from sqrt and can land on a shape that doesn't divide an odd
+    # film — callers that computed divisors themselves pass them here.
+    tile_shape: Optional[tuple] = None
     max_candidates: int = 4096  # culled shortlist size per tile
     segment: int = 256  # shortlist chunk per compositing step
     tile_group: int = 8  # tiles batched per map step (xla backend)
@@ -108,6 +112,22 @@ class RFTiledConfig:
     # grid near T / kernel_batch while each program walks its subtiles
     # sequentially (own shortlist + early exit each).
     kernel_batch: int = 1
+    # Adaptive per-tile budgets (fused backend): tiles sorted by measured
+    # need (finite cull keys) are split into static-fraction classes, each
+    # rendered with its own cluster budget. ((frac, k_clusters), ...) with
+    # fractions summing to 1, ascending budgets. Round-3 measurement: the
+    # kernel walk is already need-proportional (per-tile dynamic trip
+    # counts), but gather rows / relayouts / kernel DMA scale with the
+    # STATIC budget — classes give the 90th-percentile tiles full coverage
+    # (zero truncation -> exact-order-limited quality) while easy tiles
+    # keep small gathers. Empty = single fixed budget (max_candidates).
+    # Mutually exclusive with refine_fraction.
+    budget_classes: tuple = ()
+    # In-kernel column compaction (fused backend): the kernel drops
+    # shortlist columns whose bounding sphere misses each subtile's ray
+    # cone before the per-ray walk (exact: removed columns cannot hit any
+    # ray). Cuts walked pairs by the intra-cluster miss fraction.
+    kernel_compact: bool = False
 
     @property
     def kernel(self) -> Kernel:
@@ -348,11 +368,14 @@ def render_state(
     identical to the single-device render (per-tile RNG keys).
     """
     h, w = camera.height, camera.width
-    tp = cfg.tile_pixels
-    th = int(tp**0.5)
-    while tp % th or h % th:
-        th -= 1
-    tw = tp // th
+    if cfg.tile_shape is not None:
+        th, tw = cfg.tile_shape
+    else:
+        tp = cfg.tile_pixels
+        th = int(tp**0.5)
+        while tp % th or h % th:
+            th -= 1
+        tw = tp // th
     assert h % th == 0 and w % tw == 0, (
         f"film {w}x{h} not divisible into {tw}x{th} tiles"
     )
@@ -497,6 +520,12 @@ def _render_tiles(
     resort = cfg.prim_resort if cfg.prim_resort is not None else not use_fused
     if use_fused:
         assert state.clustered, "backend='fused' requires use_clusters=True"
+    use_classes = bool(cfg.budget_classes) and use_fused
+    if use_classes:
+        assert cfg.refine_fraction == 0.0, (
+            "budget_classes replaces refine_fraction"
+        )
+    keys_full = id_map = None
     if state.clustered:
         cs = state.cluster_size
         k_cl = max(1, s // cs)
@@ -551,19 +580,23 @@ def _render_tiles(
                 origin, axis, cos_half,
                 rep(ccx), rep(ccy), rep(ccz), rep(ccr),
             )
-            loc_ids, cl_valid = tiling.shortlist(keys, min(k_cl, k_c))
-            cl_ids = jnp.take_along_axis(rep(cl_c), loc_ids, axis=-1)
-            if k_cl > k_c:
-                pad = ((0, 0), (0, k_cl - k_c))
-                cl_ids = jnp.pad(cl_ids, pad)
-                cl_valid = jnp.pad(cl_valid, pad)
+            keys_full, id_map = keys, rep(cl_c)
+            if not use_classes:
+                loc_ids, cl_valid = tiling.shortlist(keys, min(k_cl, k_c))
+                cl_ids = jnp.take_along_axis(rep(cl_c), loc_ids, axis=-1)
+                if k_cl > k_c:
+                    pad = ((0, 0), (0, k_cl - k_c))
+                    cl_ids = jnp.pad(cl_ids, pad)
+                    cl_valid = jnp.pad(cl_valid, pad)
             strip_cand = (cl_c, ccx, ccy, ccz, ccr, gc)
         else:
             strip_cand = None
             keys = tiling.cone_cull_keys_batch(
                 origin, axis, cos_half, state.cull_centers, state.cull_radii
             )
-            cl_ids, cl_valid = tiling.shortlist(keys, k_cl)
+            keys_full, id_map = keys, None
+            if not use_classes:
+                cl_ids, cl_valid = tiling.shortlist(keys, k_cl)
         if not use_fused:
             ids, valid = clusters.expand_cluster_ids(cl_ids, cl_valid, cs)
             s = ids.shape[1]
@@ -598,14 +631,14 @@ def _render_tiles(
         )
 
         if _DEBUG_STOP == "pack":
-            probe = (
-                jnp.sum(cl_ids) + jnp.sum(cl_valid)
-            ).astype(jnp.float32) * 1e-12 + jnp.sum(ptab_rows) * 1e-12
+            probe = jnp.sum(keys_full, where=jnp.isfinite(keys_full)) * (
+                1e-12
+            ) + jnp.sum(ptab_rows) * 1e-12
             return jnp.broadcast_to(probe, (n_tiles, rt, 3))
 
         if _DEBUG_STOP == "cull":
-            probe = (jnp.sum(cl_ids) + jnp.sum(cl_valid)).astype(
-                jnp.float32
+            probe = jnp.sum(
+                keys_full, where=jnp.isfinite(keys_full)
             ) * 1e-12
             return jnp.broadcast_to(probe, (n_tiles, rt, 3))
 
@@ -727,6 +760,7 @@ def _render_tiles(
                     True,
                     jax.default_backend() != "tpu",
                     kb,
+                    cfg.kernel_compact,
                 )
                 if emitter is not None:
                     d = jnp.stack([dnx, dny, dnz], axis=-1)
@@ -750,6 +784,48 @@ def _render_tiles(
             else:
                 acc_b = acc0
             return acc_b, beta0
+
+        if use_classes:
+            # ---- adaptive per-tile budgets: static-fraction classes ------
+            # Tiles sorted by exact need (finite cull keys against the
+            # strip candidates); class c's tiles get budget k_c clusters.
+            # The whole-film pair count tracks the NEED distribution
+            # instead of a fixed worst-case budget; under a mesh the
+            # per-shard ordering makes sharded renders statistically (not
+            # bitwise) equal to single-device, like refine_fraction.
+            kcap = keys_full.shape[1]
+            n_fin = jnp.sum(jnp.isfinite(keys_full), axis=-1)
+            order = jnp.argsort(n_fin)
+            fracs = [f for f, _ in cfg.budget_classes]
+            assert abs(sum(fracs) - 1.0) < 1e-6, (
+                f"budget_classes fractions sum to {sum(fracs)}"
+            )
+            counts = [int(round(n_tiles * f)) for f in fracs]
+            counts[-1] = n_tiles - sum(counts[:-1])
+            assert min(counts) >= 1, (
+                f"budget class with no tiles: {counts} (n_tiles {n_tiles})"
+            )
+            acc = jnp.zeros((n_tiles, rt, 3), jnp.float32)
+            start = 0
+            for cnt, (_, kb) in zip(counts, cfg.budget_classes):
+                sel = jax.lax.slice_in_dim(order, start, start + cnt)
+                start += cnt
+                k_eff = min(kb, kcap)
+                loc, val = tiling.shortlist(
+                    jnp.take(keys_full, sel, axis=0), k_eff
+                )
+                if id_map is not None:
+                    ids_c = jnp.take_along_axis(
+                        jnp.take(id_map, sel, axis=0), loc, axis=-1
+                    )
+                else:
+                    ids_c = loc
+                acc_c, _ = fused_block(
+                    ids_c, val, k_eff,
+                    px0[sel], py0[sel], tile_ids[sel], axis[sel],
+                )
+                acc = acc.at[sel].set(acc_c)
+            return acc / spp
 
         n_valid0 = jnp.sum(cl_valid, axis=-1)
         acc, beta0 = fused_block(

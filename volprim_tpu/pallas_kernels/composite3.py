@@ -76,7 +76,7 @@ def _dot3_t(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def pack_fused_features(prims, origin: jnp.ndarray) -> jnp.ndarray:
     """[16, N] per-frame COLUMN table (M6 doubled-off-diag, u = Mw,
-    w = o - c, opac, c0).
+    w = o - c, opac, c0, bounding radius).
 
     Runs once per frame, so it is written entirely on 1-D [N] columns: any
     [N, 3]/[N, 3, 3] intermediate is lane-padded up to 42x by the TPU
@@ -115,22 +115,33 @@ def pack_fused_features(prims, origin: jnp.ndarray) -> jnp.ndarray:
     c0 = ux * wx + uy * wy + uz * wz
     opac = prims.attrs["opacities"][:, 0]
     zero = jnp.zeros_like(opac)
+    # row 14: extent-scaled bounding-sphere radius — the in-kernel
+    # column-compaction mask tests it against the (sub)tile cone
+    rad = float(prims.extent) * jnp.max(prims.scales, axis=-1)
     return jnp.stack(
         [
             m00, m11, m22, 2.0 * m01, 2.0 * m02, 2.0 * m12,
-            ux, uy, uz, wx, wy, wz, opac, c0, zero, zero,
+            ux, uy, uz, wx, wy, wz, opac, c0, rad, zero,
         ],
         axis=0,
     )
 
 
-def neutral_fused_row() -> jnp.ndarray:
-    """Inert row: M = I, w = u = 0, opac = 0 (a > 0, never hits)."""
+def _neutral_np():
+    """Inert row as a numpy literal (kernel-embeddable): M = I, w = u = 0,
+    opac = 0 (a > 0, never hits); radius -1 so the compaction mask drops
+    the column (accel/tiles.py convention)."""
     import numpy as np
 
     row = np.zeros((16,), np.float32)
     row[:3] = 1.0
-    return jnp.asarray(row)
+    row[14] = -1.0
+    return row
+
+
+def neutral_fused_row() -> jnp.ndarray:
+    """See :func:`_neutral_np` (device-array form for gather-time fills)."""
+    return jnp.asarray(_neutral_np())
 
 
 def _ray_blocks_t(d_ref, degree, b=0):
@@ -238,10 +249,141 @@ def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
 
 
 
+def _subtile_cone(d3):
+    """Bounding cone of the subtile's rays: ([1, 3] axis, [1, 1] cos_half).
+    Shared origin is implicit (camera-relative features)."""
+    rt = d3.shape[0]
+    mean = jnp.sum(d3, axis=0, keepdims=True) / rt  # [1, 3]
+    nrm = jnp.sqrt(jnp.sum(mean * mean, axis=1, keepdims=True))
+    ax = mean / jnp.maximum(nrm, 1e-12)
+    cos_half = jnp.min(
+        jnp.sum(d3 * ax, axis=1, keepdims=True), axis=0, keepdims=True
+    )  # [1, 1]
+    return ax, cos_half
+
+
+def _column_mask(pfT, ax, cos_half):
+    """[1, C] f32 mask: does this column's bounding sphere meet the subtile
+    cone? Conservative (same angular-sum test as accel/tiles.py); columns
+    with radius < 0 (neutral/padding) never pass. Removed columns are
+    guaranteed no-hit for every ray in the subtile, so compositing after
+    compaction is exact."""
+    wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
+    r = pfT[14:15, :]
+    vx, vy, vz = -wx, -wy, -wz  # c - o
+    dist2 = vx * vx + vy * vy + vz * vz
+    dist = jnp.sqrt(dist2)
+    safe = jnp.maximum(dist, 1e-8)
+    depth = vx * ax[0:1, 0:1] + vy * ax[0:1, 1:2] + vz * ax[0:1, 2:3]
+    cos_theta = depth / safe
+    sin_rho = jnp.clip(r / safe, 0.0, 1.0)
+    cos_rho = jnp.sqrt(jnp.maximum(1.0 - sin_rho * sin_rho, 0.0))
+    ch = jnp.clip(cos_half, -1.0, 1.0)
+    sh_ = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+    wraps = cos_rho <= -ch
+    inside = wraps | (cos_theta >= ch * cos_rho - sh_ * sin_rho)
+    in_front = depth + r > 1e-4
+    contains = dist <= r
+    m = ((inside & in_front) | contains) & (r >= 0.0)
+    return jnp.where(m, 1.0, 0.0)
+
+
+_ALIGN = 128  # compacted write alignment (lane-tile aligned -> free slices)
+
+
+def _neutral_block(seg):
+    """[16, seg] neutral-row block built from iota (pallas_call rejects
+    captured array constants): rows 0-2 = 1 (M = I), row 14 = -1 (radius
+    sentinel), rest 0."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (16, seg), 0)
+    return jnp.where(
+        ri < 3, 1.0, jnp.where(ri == 14, -1.0, 0.0)
+    ).astype(jnp.float32)
+
+
+def _compact_phase(
+    pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, d3,
+):
+    """Phase 1 of the compacted walk: stream the subtile's segments, drop
+    columns whose bounding sphere misses the subtile cone (one-hot MXU
+    permutation), append survivors to the VMEM scratches EXACTLY packed.
+    Returns the number of compacted segments to walk.
+
+    Packing is exact (no alignment rounding — at the measured ~22% column
+    survival a 128-rounded append would waste 2x): the one-hot places
+    survivors at the in-block offset ``total mod _ALIGN`` directly
+    (P [C, C+_ALIGN]), and the _ALIGN-aligned write preserves the already-
+    written prefix read-modify-write. The one-hot apply moves pf values
+    through a bf16x3 split (~2^-24 relative — one extra f32-rounding-
+    equivalent); sh (bf16) moves exactly.
+    """
+    f32 = jnp.float32
+    ax, cos_half = _subtile_cone(d3)
+    n_sh_rows = scr_sh.shape[0]
+    wide = seg + _ALIGN
+
+    def body(si, total):
+        sl = pl.ds(si * seg, seg)
+        base = (total // _ALIGN) * _ALIGN
+        r_off = (total - base).astype(f32)
+        pfT = pf_ref[b, :, sl]
+        m = _column_mask(pfT, ax, cos_half)  # [1, C]
+        pos = jnp.dot(m, ut, preferred_element_type=f32)  # incl cumsum
+        live = pos[0, seg - 1].astype(jnp.int32)
+        pos_t = jnp.transpose(pos)  # [C, 1]
+        m_t = jnp.transpose(m)
+        iota_w = jax.lax.broadcasted_iota(f32, (seg, wide), 1)
+        p = jnp.where(
+            (pos_t - 1.0 + r_off == iota_w) & (m_t > 0.0), 1.0, 0.0
+        )  # [C, wide] — survivors land at [r_off, r_off + live)
+        ph = p.astype(jnp.bfloat16)
+        xh = pfT.astype(jnp.bfloat16)
+        xl = (pfT - xh.astype(f32)).astype(jnp.bfloat16)
+        xl2 = (pfT - xh.astype(f32) - xl.astype(f32)).astype(jnp.bfloat16)
+        cmp = (
+            jax.lax.dot_general(xh, ph, _DN_N, preferred_element_type=f32)
+            + jax.lax.dot_general(xl, ph, _DN_N, preferred_element_type=f32)
+            + jax.lax.dot_general(xl2, ph, _DN_N, preferred_element_type=f32)
+        )
+        col = jax.lax.broadcasted_iota(f32, (1, wide), 1)
+        keep_old = col < r_off
+        in_new = col < r_off + pos[0:1, seg - 1:seg]
+        wsl = pl.ds(base, wide)
+        old_pf = scr_pf[:, wsl]
+        scr_pf[:, wsl] = jnp.where(
+            keep_old, old_pf,
+            jnp.where(in_new, cmp, _neutral_block(wide)),
+        )
+        shT = sh_ref[b, :, sl]  # [3k, C] (bf16 or f32)
+        sh_cmp = jax.lax.dot_general(
+            shT.astype(jnp.bfloat16) if shT.dtype == jnp.bfloat16 else shT,
+            ph if shT.dtype == jnp.bfloat16 else p,
+            _DN_N, preferred_element_type=f32,
+        ).astype(scr_sh.dtype)
+        old_sh = scr_sh[0:n_sh_rows, wsl]
+        scr_sh[0:n_sh_rows, wsl] = jnp.where(keep_old, old_sh, sh_cmp)
+        return total + live
+
+    total = jax.lax.fori_loop(0, n_seg_t, body, jnp.int32(0))
+    # neutral tail: stale columns beyond `total` up to the next segment
+    # boundary must be inert for phase 2's final segment
+    base = (total // _ALIGN) * _ALIGN
+    r_off = (total - base).astype(f32)
+    col = jax.lax.broadcasted_iota(f32, (1, wide), 1)
+    keep_old = col < r_off
+    wsl = pl.ds(base, wide)
+    old_pf = scr_pf[:, wsl]
+    scr_pf[:, wsl] = jnp.where(keep_old, old_pf, _neutral_block(wide))
+    # coverage: phase 2's last segment ends at ceil(total/seg)*seg
+    # <= total + seg <= base + _ALIGN + seg = base + wide  (r_off < _ALIGN)
+    return (total + seg - 1) // seg
+
+
 def _fwd3_kernel(
-    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref,
+    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref, scr_pf=None,
+    scr_sh=None,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
-    stable_q=True, batch=1,
+    stable_q=True, batch=1, compact=False,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
@@ -262,12 +404,17 @@ def _fwd3_kernel(
         basis_h = basis.astype(sh_ref.dtype)
 
         sh_rows = sh_ref.shape[2] == pf_ref.shape[2]  # [B, 3k, S] layout
+        if compact:
+            assert sh_rows, "compact walk requires the [B, 3k, S] sh layout"
 
         def seg_body(si, carry, b=b, f6=f6, d3=d3, dx=dx, dy=dy, dz=dz,
                      basis_h=basis_h, sh_rows=sh_rows):
             log_beta, lr, lg, lb_, count = carry
             sl = pl.ds(si * seg, seg)
-            pfT = pf_ref[b, :, sl]  # [16, C] — native transposed layout
+            if compact:
+                pfT = scr_pf[:, sl]  # [16, C] — compacted stream
+            else:
+                pfT = pf_ref[b, :, sl]  # [16, C] — native transposed layout
             # shared pair math: the backward sweep recomputes exactly this
             _, _, _, _, _, q_min, hit, opac, _ = _fwd3_core(
                 pfT, f6, d3, dx, dy, dz, extent2, stable_q
@@ -316,9 +463,12 @@ def _fwd3_kernel(
             for ch in range(3 if "noemis" not in _ABL else 0):
                 if sh_rows:
                     # feature-major [3k, S] table: channel block = k rows
-                    sh_ch = sh_ref[b, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
+                    if compact:
+                        sh_ch = scr_sh[pl.ds(ch * sh_k, sh_k), sl]
+                    else:
+                        sh_ch = sh_ref[b, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
                     e_ch = jax.lax.dot_general(
-                        basis_h[:, :sh_k], sh_ch, _DN_N,
+                        basis_h[:, :sh_k], sh_ch.astype(basis_h.dtype), _DN_N,
                         preferred_element_type=f32,
                     )
                 else:
@@ -346,6 +496,12 @@ def _fwd3_kernel(
             n_seg_t = jnp.minimum(n_seg_t, 0)
         if "static" in _ABL:  # full fixed-trip walk (max pipelining)
             n_seg_t = jnp.int32(n_seg)
+        if compact:
+            # phase 1: drop columns outside the subtile cone, walk the
+            # (much shorter) compacted stream instead
+            n_seg_t = _compact_phase(
+                pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, d3
+            )
         if early_exit and not ({"static", "fori"} & _ABL):
 
             def cond(state, n_seg_t=n_seg_t):
@@ -386,7 +542,7 @@ def _fwd3_kernel(
     jax.jit,
     static_argnames=(
         "seg", "extent2", "max_depth", "beta_kill", "degree", "sh_k",
-        "early_exit", "stable_q", "interpret", "batch",
+        "early_exit", "stable_q", "interpret", "batch", "compact",
     ),
 )
 def composite_tiles3(
@@ -413,15 +569,21 @@ def composite_tiles3(
     stable_q: bool = True,
     interpret: bool = False,
     batch: int = 1,
+    compact: bool = False,
 ):
     """Fused forward compositor. Returns (L [T, RT, 3], beta [T, RT]).
 
     ``batch``: subtiles processed sequentially per Pallas program (grid =
     T / batch) — use >1 for small tiles so the grid stays in the hundreds.
+    ``compact``: in-kernel column compaction — phase 1 drops columns whose
+    bounding sphere (pf row 14) misses the subtile cone and appends the
+    survivors to a VMEM scratch; phase 2 walks the compacted stream. The
+    mask is conservative, so the output is exact (up to one extra f32
+    rounding from the one-hot move).
     """
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-        degree, sh_k, early_exit, stable_q, interpret, batch,
+        degree, sh_k, early_exit, stable_q, interpret, batch, compact,
     )
     return out[..., :3], out[..., 3]
 
@@ -436,14 +598,19 @@ def _bwd3_kernel(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
-    batch=1,
+    batch=1, compact=False,
 ):
     """Two-sweep backward for the fused compositor: a forward sweep stores
     the per-segment (log_beta, count) carries, then a reverse sweep
     recomputes each segment and accumulates the adjoints of the packed
     primitive rows (m6, u, w, opac) and the SH table. Mirrors
     composite2._bwd_kernel with the closest-approach q adjoints. Subtiles
-    of the program's batch run sequentially, reusing the carry scratch."""
+    of the program's batch run sequentially, reusing the carry scratch.
+
+    ``compact`` is accepted for signature parity with the forward but the
+    backward walks the UNCOMPACTED segments: the compacted forward equals
+    the uncompacted function (conservative mask -> dropped columns have
+    alpha exactly 0), so its gradients are the uncompacted gradients."""
     for b in range(batch):
         _bwd3_subtile(
             nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
@@ -648,7 +815,8 @@ def _bwd3_subtile(
 
 
 def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-              degree, sh_k, early_exit, stable_q, interpret, batch=1):
+              degree, sh_k, early_exit, stable_q, interpret, batch=1,
+              compact=False):
     t = d8.shape[0]
     rt = d8.shape[2]
     s = pf.shape[2]
@@ -666,8 +834,15 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         _fwd3_kernel,
         n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, early_exit=early_exit,
-        stable_q=stable_q, batch=batch,
+        stable_q=stable_q, batch=batch, compact=compact,
     )
+    scratch_shapes = []
+    if compact:
+        assert sh3.shape[2] == s, "compact needs the [T, 3k, S] sh layout"
+        scratch_shapes = [
+            pltpu.VMEM((_FEAT, s + seg + _ALIGN), jnp.float32),
+            pltpu.VMEM((sh3.shape[1], s + seg + _ALIGN), sh3.dtype),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(t // batch,),
@@ -684,6 +859,7 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         ],
         out_specs=pl.BlockSpec((batch, rt, 8), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t, rt, 8), jnp.float32),
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -696,35 +872,36 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
 def composite_tiles3_ad(
     d8, pf, sh3, n_seg_t,
     seg: int, extent2: float, max_depth: int, beta_kill: float,
     degree: int, sh_k: int, early_exit: bool, stable_q: bool,
-    interpret: bool, batch: int = 1,
+    interpret: bool, batch: int = 1, compact: bool = False,
 ):
     """Differentiable fused compositor (forward = composite_tiles3; custom
     backward kernel). Gradients flow into pf and sh3; d8 / n_seg_t get
     zeros."""
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-        degree, sh_k, early_exit, stable_q, interpret, batch,
+        degree, sh_k, early_exit, stable_q, interpret, batch, compact,
     )
     return out[..., :3], out[..., 3]
 
 
 def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-               degree, sh_k, early_exit, stable_q, interpret, batch=1):
+               degree, sh_k, early_exit, stable_q, interpret, batch=1,
+               compact=False):
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
-        degree, sh_k, early_exit, stable_q, interpret, batch,
+        degree, sh_k, early_exit, stable_q, interpret, batch, compact,
     )
     return (out[..., :3], out[..., 3]), (d8, pf, sh3, n_seg_t)
 
 
 def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
-               stable_q, interpret, batch, res, cts):
+               stable_q, interpret, batch, compact, res, cts):
     d8, pf, sh3, n_seg_t = res
     g_l, g_beta = cts
     t = d8.shape[0]
@@ -738,7 +915,7 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         _bwd3_kernel,
         n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, stable_q=stable_q,
-        batch=batch,
+        batch=batch, compact=compact,
     )
     gpf, gsh = pl.pallas_call(
         kernel,
