@@ -159,6 +159,198 @@ def make_scene(n_prims: int, kind: str = "surface"):
     )
 
 
+def bench_2m(jax, jnp, vp, rf_tiled, cfg):
+    """Truck-class scale demonstration (VERDICT round-2 #3): a 2M-splat
+    surface scene rendered through rf_tiled. Reports Mrays/s, HBM
+    highwater, and PSNR vs the exact-order integrator on a 4096-ray
+    subsample (cached golden: tests/golden/bench2m_exact.npz).
+
+    Reuses the HEADLINE config so the (slow-to-compile) Mosaic kernel
+    shapes are identical — only the cheap XLA-level cull/gather graphs
+    recompile for the larger cluster tables."""
+    import time as _time
+
+    n2m = 2097152
+    scene2 = make_scene(n2m)
+    camera = vp.scene.CameraSpecs(
+        name="bench2m", width=512, height=512,
+        to_world=vp.scene.look_at([0, 0.4, -3.2], [0, 0, 0], [0, 1, 0]),
+        fov=50.0,
+    )
+    state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene2)
+    spp = 2
+
+    def run_block(st, seed0):
+        def body(acc, i):
+            img = rf_tiled.render_state(
+                st, camera, cfg, None, spp=spp, seed=seed0 + i
+            )
+            return acc + jnp.sum(img), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(4))
+        return acc
+
+    jfn = jax.jit(run_block)
+    float(jfn(state, jnp.int32(0)))
+    dev = jax.devices()[0]
+    try:
+        hbm_peak = dev.memory_stats().get("peak_bytes_in_use", 0)
+    except Exception:
+        hbm_peak = 0
+    times = []
+    for i in range(3):
+        t0 = _time.perf_counter()
+        float(jfn(state, jnp.int32(100 * (i + 1))))
+        times.append(_time.perf_counter() - t0)
+    exec_s = float(np.min(times)) / 4
+    mrays = 512 * 512 * spp / exec_s / 1e6
+
+    # PSNR vs exact per-ray order on a fixed 4096-ray subsample
+    img1 = np.asarray(
+        jax.jit(
+            lambda st, s: rf_tiled.render_state(
+                st, camera, cfg, None, spp=1, seed=s, jitter=False
+            )
+        )(state, jnp.int32(0))
+    ).reshape(-1, 3)
+    gpath = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "bench2m_exact.npz",
+    )
+    rng = np.random.default_rng(42)
+    sel = rng.choice(512 * 512, size=4096, replace=False)
+    if os.environ.get("BENCH_REGEN_EXACT") == "1" or not os.path.exists(
+        gpath
+    ):
+        from volprim_tpu.models import rf as rf_exact
+
+        o_r, d_r = vp.scene.generate_rays(camera, jitter=False)
+        ecfg = rf_exact.RFConfig(
+            max_depth=128, srgb_primitives=True, chunk_size=4096
+        )
+        jex = jax.jit(
+            lambda o_, d_: rf_exact.radiance(
+                scene2, None, o_, d_, ecfg, jax.random.PRNGKey(0)
+            )
+        )
+        exact_sub = np.asarray(jex(o_r[sel], d_r[sel]))
+        np.savez(gpath, sel=sel, exact=exact_sub.astype(np.float16))
+    g = np.load(gpath)
+    assert (g["sel"] == sel).all()
+    mse = float(np.mean((img1[sel] - g["exact"].astype(np.float32)) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    print(
+        f"2M-splat scene: {mrays:.2f} Mrays/s, frame {exec_s * 1e3:.1f} ms,"
+        f" HBM peak {hbm_peak / 2**30:.2f} GiB,"
+        f" PSNR vs exact (4096-ray subsample) {psnr:.1f} dB",
+        file=sys.stderr,
+    )
+    return {
+        "rf_2M_mrays": round(mrays, 3),
+        "rf_2M_psnr_vs_exact_db": round(psnr, 2),
+        "rf_2M_hbm_peak_gib": round(hbm_peak / 2**30, 3),
+    }
+
+
+def bench_prb_cluster_1m(jax, jnp, vp):
+    """prb's cluster-gathering path (the stated >1M-primitive design,
+    use_clusters=True) exercised at 1M primitives: free-flight interval
+    collection through the Morton-cluster hierarchy vs the brute chunk
+    scan on the same rays (VERDICT round-2 #3). Returns agreement stats +
+    timing for both paths."""
+    import time as _time
+
+    from volprim_tpu.models import prb as prb_mod
+
+    smoke = vp.scene.load_ply("/root/reference/resources/smoke.ply")
+    n0 = smoke.num_prims
+    reps = 64  # 16k -> 1.05M primitives
+    rng = np.random.default_rng(3)
+    offs = rng.uniform(-3.0, 3.0, size=(reps, 3)).astype(np.float32)
+    offs[0] = 0.0
+    import jax.numpy as jnp_
+
+    centers = (
+        smoke.centers[None, :, :] + jnp_.asarray(offs)[:, None, :]
+    ).reshape(-1, 3)
+    big = vp.scene.EllipsoidScene(
+        centers=centers,
+        scales=jnp_.tile(smoke.scales, (reps, 1)),
+        quats=jnp_.tile(smoke.quats, (reps, 1)),
+        attrs={
+            k: jnp_.tile(v, (reps, 1)) for k, v in smoke.attrs.items()
+        },
+        extent=smoke.extent,
+    )
+    n = big.num_prims
+    r = 1024
+    o = jnp_.tile(jnp_.asarray([[0.0, 0.0, -6.0]]), (r, 1))
+    ang = jnp_.asarray(
+        np.stack(
+            [
+                rng.uniform(-0.4, 0.4, r), rng.uniform(-0.4, 0.4, r),
+                np.ones(r),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    d = ang / jnp_.linalg.norm(ang, axis=-1, keepdims=True)
+    xi = jnp_.asarray(rng.uniform(1e-6, 1.0, r).astype(np.float32))
+    act = jnp_.ones((r,), bool)
+
+    cfg_cl = prb_mod.PRBConfig(
+        max_overlaps=8, max_windows=16, collect_budget=128,
+        use_clusters=True, cluster_size=32, chunk_size=4096,
+    )
+    cfg_br = prb_mod.PRBConfig(
+        max_overlaps=8, max_windows=16, collect_budget=128,
+        use_clusters=False, chunk_size=4096,
+    )
+    index = prb_mod.build_ff_index(big, cfg_cl)
+
+    def ff(cfg, idx, seed):
+        oo = o + seed.astype(jnp_.float32) * 1e-12
+        found, dead, ts, alb, s1, s2 = prb_mod.free_flight(
+            big, oo, d, xi, cfg, act, index=idx
+        )
+        return found, ts, alb
+
+    j_cl = jax.jit(lambda s: ff(cfg_cl, index, s))
+    j_br = jax.jit(lambda s: ff(cfg_br, None, s))
+    f_cl, t_cl, a_cl = j_cl(jnp_.int32(0))
+    f_br, t_br, a_br = j_br(jnp_.int32(0))
+    f_cl, f_br = np.asarray(f_cl), np.asarray(f_br)
+    t_cl, t_br = np.asarray(t_cl), np.asarray(t_br)
+    agree_found = float((f_cl == f_br).mean())
+    both = f_cl & f_br
+    t_rel = float(
+        np.max(np.abs(t_cl[both] - t_br[both]) / np.maximum(t_br[both], 1e-6))
+    ) if both.any() else 0.0
+
+    def timeit(fn):
+        ts_ = []
+        for i in range(3):
+            t0 = _time.perf_counter()
+            r_ = fn(jnp_.int32(i + 1))
+            float(jnp_.sum(r_[1], where=jnp_.isfinite(r_[1])))
+            ts_.append(_time.perf_counter() - t0)
+        return float(np.min(ts_)) * 1e3
+
+    ms_cl = timeit(j_cl)
+    ms_br = timeit(j_br)
+    print(
+        f"prb 1M-prim free flight ({n} prims, {r} rays): cluster path"
+        f" {ms_cl:.0f} ms vs brute scan {ms_br:.0f} ms; found-agreement"
+        f" {agree_found:.1%}, max rel t diff {t_rel:.2e}",
+        file=sys.stderr,
+    )
+    return {
+        "prb_1M_cluster_ms": round(ms_cl, 1),
+        "prb_1M_brute_ms": round(ms_br, 1),
+        "prb_1M_found_agreement": round(agree_found, 4),
+        "prb_1M_t_rel_diff": float(f"{t_rel:.3e}"),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -406,9 +598,17 @@ def main():
             ),
             fov=40.0,
         )
+        # Adaptive per-bounce caps (round 3): bounce 0 crosses the whole
+        # medium (full capacity); scattered bounces resolve in far fewer
+        # intervals — tail caps cut collection + walk capacity. Disable
+        # with BENCH_PRB_TAIL=0 for the round-2-equivalent estimator.
+        tail_on = os.environ.get("BENCH_PRB_TAIL", "1") != "0"
         pcfg = prb_mod.PRBConfig(
             max_depth=-1, bounce_cap=32, max_overlaps=8, max_windows=16,
             collect_budget=128, use_clusters=False,
+            tail_after=1 if tail_on else 1,
+            tail_windows=6 if tail_on else 0,
+            tail_budget=48 if tail_on else 0,
         )
         pj = jax.jit(
             lambda p, s: vmodels.render(
@@ -434,6 +634,19 @@ def main():
             file=sys.stderr,
         )
 
+    # ---- truck-scale metric (BASELINE config #2 class: >=2M primitives) --
+    scale_stats = {}
+    if os.environ.get("BENCH_2M", "1") != "0":
+        try:
+            scale_stats = bench_2m(jax, jnp, vp, rf_tiled, cfg)
+        except Exception as e:  # keep the headline metric alive
+            print(f"2M-scale metric failed: {e}", file=sys.stderr)
+    if os.environ.get("BENCH_PRB1M", "1") != "0":
+        try:
+            scale_stats.update(bench_prb_cluster_1m(jax, jnp, vp))
+        except Exception as e:
+            print(f"prb-1M metric failed: {e}", file=sys.stderr)
+
     baseline_proxy = 100.0  # Mrays/sec, see module docstring
     details = {
         "rf_mrays": round(mrays, 3),
@@ -441,6 +654,7 @@ def main():
         "stages": stage,
         **train_stats,
         **prb_stats,
+        **scale_stats,
     }
     if np.isfinite(psnr_exact):  # surface scene only (fog has no golden)
         details["rf_psnr_vs_exact_db"] = round(psnr_exact, 2)

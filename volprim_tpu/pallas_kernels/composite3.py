@@ -325,16 +325,16 @@ def _compact_phase(
     def body(si, total):
         sl = pl.ds(si * seg, seg)
         base = (total // _ALIGN) * _ALIGN
-        r_off = (total - base).astype(f32)
+        r_off = total - base
         pfT = pf_ref[b, :, sl]
         m = _column_mask(pfT, ax, cos_half)  # [1, C]
         pos = jnp.dot(m, ut, preferred_element_type=f32)  # incl cumsum
         live = pos[0, seg - 1].astype(jnp.int32)
-        pos_t = jnp.transpose(pos)  # [C, 1]
+        pos_t = jnp.transpose(pos).astype(jnp.int32)  # [C, 1]
         m_t = jnp.transpose(m)
-        iota_w = jax.lax.broadcasted_iota(f32, (seg, wide), 1)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (seg, wide), 1)
         p = jnp.where(
-            (pos_t - 1.0 + r_off == iota_w) & (m_t > 0.0), 1.0, 0.0
+            (pos_t - 1 + r_off == iota_w) & (m_t > 0.0), 1.0, 0.0
         )  # [C, wide] — survivors land at [r_off, r_off + live)
         ph = p.astype(jnp.bfloat16)
         xh = pfT.astype(jnp.bfloat16)
@@ -345,9 +345,9 @@ def _compact_phase(
             + jax.lax.dot_general(xl, ph, _DN_N, preferred_element_type=f32)
             + jax.lax.dot_general(xl2, ph, _DN_N, preferred_element_type=f32)
         )
-        col = jax.lax.broadcasted_iota(f32, (1, wide), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, wide), 1)
         keep_old = col < r_off
-        in_new = col < r_off + pos[0:1, seg - 1:seg]
+        in_new = col < r_off + live
         wsl = pl.ds(base, wide)
         old_pf = scr_pf[:, wsl]
         scr_pf[:, wsl] = jnp.where(
@@ -368,8 +368,8 @@ def _compact_phase(
     # neutral tail: stale columns beyond `total` up to the next segment
     # boundary must be inert for phase 2's final segment
     base = (total // _ALIGN) * _ALIGN
-    r_off = (total - base).astype(f32)
-    col = jax.lax.broadcasted_iota(f32, (1, wide), 1)
+    r_off = total - base
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wide), 1)
     keep_old = col < r_off
     wsl = pl.ds(base, wide)
     old_pf = scr_pf[:, wsl]
@@ -596,7 +596,8 @@ _DN_T0 = (((0,), (0,)), ((), ()))
 
 def _bwd3_kernel(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
-    gpf_ref, gsh_ref, lb_scratch, cnt_scratch,
+    gpf_ref, gsh_ref, lb_scratch, cnt_scratch, scr_pf=None, scr_sh=None,
+    gscr_pf=None, gscr_sh=None,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
     batch=1, compact=False,
 ):
@@ -607,25 +608,30 @@ def _bwd3_kernel(
     composite2._bwd_kernel with the closest-approach q adjoints. Subtiles
     of the program's batch run sequentially, reusing the carry scratch.
 
-    ``compact`` is accepted for signature parity with the forward but the
-    backward walks the UNCOMPACTED segments: the compacted forward equals
-    the uncompacted function (conservative mask -> dropped columns have
-    alpha exactly 0), so its gradients are the uncompacted gradients."""
+    ``compact``: both sweeps walk the compacted stream (phase-1 rebuilt
+    per subtile, identical to the forward's); the accumulated compacted-
+    column adjoints are scattered back to the original segment slots
+    through the transposed one-hot at the end. Gradients equal the
+    uncompacted ones: dropped columns have alpha exactly 0, hence zero
+    adjoints."""
     for b in range(batch):
         _bwd3_subtile(
             nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
             gpf_ref, gsh_ref, lb_scratch, cnt_scratch, b,
+            scr_pf=scr_pf, scr_sh=scr_sh, gscr_pf=gscr_pf,
+            gscr_sh=gscr_sh,
             n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
             beta_kill=beta_kill, degree=degree, sh_k=sh_k,
-            stable_q=stable_q, batch=batch,
+            stable_q=stable_q, batch=batch, compact=compact,
         )
 
 
 def _bwd3_subtile(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch, sb,
+    scr_pf=None, scr_sh=None, gscr_pf=None, gscr_sh=None,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
-    batch,
+    batch, compact=False,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
@@ -639,13 +645,24 @@ def _bwd3_subtile(
     gpf_ref[sb] = jnp.zeros_like(gpf_ref[sb])
     gsh_ref[sb] = jnp.zeros_like(gsh_ref[sb])
 
-    n_seg_t = jnp.minimum(
+    n_orig_t = jnp.minimum(
         nseg_ref[0, pl.program_id(0) * batch + sb], n_seg
     )
+    if compact:
+        n_seg_t = _compact_phase(
+            pf_ref, sh_ref, ut, scr_pf, scr_sh, sb, n_orig_t, seg, d3
+        )
+        gscr_pf[...] = jnp.zeros_like(gscr_pf)
+        gscr_sh[...] = jnp.zeros_like(gscr_sh)
+    else:
+        n_seg_t = n_orig_t
 
     def common(si):
         sl = pl.ds(si * seg, seg)
-        pfT = pf_ref[sb, :, sl]  # [16, C]
+        if compact:
+            pfT = scr_pf[:, sl]  # [16, C] compacted stream
+        else:
+            pfT = pf_ref[sb, :, sl]  # [16, C]
         a, b, t_peak, p, q_raw, q_min, hit, opac, pfT = _fwd3_core(
             pfT, f6, d3, dx, dy, dz, extent2, stable_q
         )
@@ -698,12 +715,17 @@ def _bwd3_subtile(
         w_ = jnp.where(alive, exp_lw * alpha, 0.0)
 
         sh_rows = sh_ref.shape[2] == pf_ref.shape[2]  # [B, 3k, S] layout
+        if compact:
+            assert sh_rows
         g_w = jnp.zeros((rt, seg), f32)
         for ch in range(3):
             if sh_rows:
-                sh_ch = sh_ref[sb, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
+                if compact:
+                    sh_ch = scr_sh[pl.ds(ch * sh_k, sh_k), sl]
+                else:
+                    sh_ch = sh_ref[sb, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
                 e_raw = jax.lax.dot_general(
-                    basis_h[:, :sh_k], sh_ch, _DN_N,
+                    basis_h[:, :sh_k], sh_ch.astype(basis_h.dtype), _DN_N,
                     preferred_element_type=f32,
                 ) + 0.5
             else:
@@ -719,10 +741,15 @@ def _bwd3_subtile(
                     basis[:, :sh_k], g_e, _DN_T0,
                     precision=hp, preferred_element_type=f32,
                 )  # [k, C]
-                gsh_ref[sb, pl.ds(ch * sh_k, sh_k), sl] = (
-                    gsh_ref[sb, pl.ds(ch * sh_k, sh_k), sl]
-                    + g_sh_ch.astype(gsh_ref.dtype)
-                )
+                if compact:
+                    gscr_sh[pl.ds(ch * sh_k, sh_k), sl] = (
+                        gscr_sh[pl.ds(ch * sh_k, sh_k), sl] + g_sh_ch
+                    )
+                else:
+                    gsh_ref[sb, pl.ds(ch * sh_k, sh_k), sl] = (
+                        gsh_ref[sb, pl.ds(ch * sh_k, sh_k), sl]
+                        + g_sh_ch.astype(gsh_ref.dtype)
+                    )
             else:
                 g_sh_ch = jax.lax.dot_general(
                     g_e, basis, _DN_TT, precision=hp,
@@ -807,11 +834,66 @@ def _bwd3_subtile(
             ],
             axis=0,
         )  # [16, C] — native output layout, no transpose needed
-        gpf_ref[sb, :, sl] = gpf_ref[sb, :, sl] + g_rows
+        if compact:
+            gscr_pf[:, sl] = gscr_pf[:, sl] + g_rows
+        else:
+            gpf_ref[sb, :, sl] = gpf_ref[sb, :, sl] + g_rows
 
         return jnp.sum(g_lw, axis=1, keepdims=True) + g_lb_next
 
     jax.lax.fori_loop(0, n_seg_t, bwd_body, g_lb_init)
+
+    if compact:
+        # ---- scatter compacted adjoints back to the original slots -----
+        # Re-derive each original segment's mask / base offset (identical
+        # phase-1 math), rebuild the offset one-hot P and move the
+        # accumulated column adjoints through P^T. Dropped columns get
+        # exactly zero (their rows of P^T are zero).
+        ax_c, ch_c = _subtile_cone(d3)
+        wide = seg + _ALIGN
+
+        def scatter_body(si, total):
+            sl = pl.ds(si * seg, seg)
+            base = (total // _ALIGN) * _ALIGN
+            r_off = total - base
+            pfT0 = pf_ref[sb, :, sl]
+            m = _column_mask(pfT0, ax_c, ch_c)
+            pos = jnp.dot(m, ut, preferred_element_type=f32)
+            live = pos[0, seg - 1].astype(jnp.int32)
+            pos_t = jnp.transpose(pos).astype(jnp.int32)
+            m_t = jnp.transpose(m)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (seg, wide), 1)
+            p_oh = jnp.where(
+                (pos_t - 1 + r_off == iota_w) & (m_t > 0.0), 1.0, 0.0
+            )  # [C, wide]
+            g_cmp = gscr_pf[:, pl.ds(base, wide)]  # [16, wide]
+            gh = g_cmp.astype(jnp.bfloat16)
+            gl1 = (g_cmp - gh.astype(f32)).astype(jnp.bfloat16)
+            gl2 = (
+                g_cmp - gh.astype(f32) - gl1.astype(f32)
+            ).astype(jnp.bfloat16)
+            ph = p_oh.astype(jnp.bfloat16)
+            g_orig = (
+                jax.lax.dot_general(gh, ph, _DN_T,
+                                    preferred_element_type=f32)
+                + jax.lax.dot_general(gl1, ph, _DN_T,
+                                      preferred_element_type=f32)
+                + jax.lax.dot_general(gl2, ph, _DN_T,
+                                      preferred_element_type=f32)
+            )  # [16, C]
+            gpf_ref[sb, :, sl] = g_orig
+            g_cmp_sh = gscr_sh[:, pl.ds(base, wide)]  # [3k, wide] f32
+            sh_h = g_cmp_sh.astype(jnp.bfloat16)
+            sh_l = (g_cmp_sh - sh_h.astype(f32)).astype(jnp.bfloat16)
+            g_sh_orig = jax.lax.dot_general(
+                sh_h, ph, _DN_T, preferred_element_type=f32
+            ) + jax.lax.dot_general(
+                sh_l, ph, _DN_T, preferred_element_type=f32
+            )
+            gsh_ref[sb, :, sl] = g_sh_orig.astype(gsh_ref.dtype)
+            return total + live
+
+        jax.lax.fori_loop(0, n_orig_t, scatter_body, jnp.int32(0))
 
 
 def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
@@ -946,7 +1028,15 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         scratch_shapes=[
             pltpu.VMEM((n_seg, rt), jnp.float32),
             pltpu.VMEM((n_seg, rt), jnp.float32),
-        ],
+        ] + (
+            [
+                pltpu.VMEM((_FEAT, s + seg + _ALIGN), jnp.float32),
+                pltpu.VMEM((sh3.shape[1], s + seg + _ALIGN), sh3.dtype),
+                pltpu.VMEM((_FEAT, s + seg + _ALIGN), jnp.float32),
+                pltpu.VMEM((sh3.shape[1], s + seg + _ALIGN), jnp.float32),
+            ]
+            if compact else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
