@@ -250,3 +250,79 @@ def test_fit_sh_on_mesh_diffuse_plane():
     o = (v0 + n0 * 1e-3)[None, :] + dw * 1e-3
     direct = np.asarray(cache.query(o, -dw, jax.random.PRNGKey(0)))
     assert np.abs(recon - direct).mean() < 0.15, (recon, direct)
+
+
+def test_headless_visualizer(tmp_path):
+    """The polyscope stand-in renders depth-correct attribute views and
+    overlays rays/points (reference scripts/radiosity/visualizer.py)."""
+    import numpy as np
+
+    from volprim_tpu.scene import CameraSpecs, look_at
+    from volprim_tpu.scene import mesh as mesh_mod
+    from volprim_tpu.tooling import visualizer
+
+    m = mesh_mod.make_icosphere(
+        [0.0, 0.0, 0.0], 1.0, subdiv=1,
+        attrs={"heat": None},
+    )
+    import jax.numpy as jnp
+
+    # scalar attribute = height
+    m = mesh_mod.TriangleMesh(
+        m.vertices, m.faces, {"heat": m.vertices[:, 1:2] * 0.5 + 0.5}
+    )
+    cam = CameraSpecs(
+        name="v", width=64, height=48,
+        to_world=look_at([0, 0.5, -3.0], [0, 0, 0], [0, 1, 0]), fov=45.0,
+    )
+    img = visualizer.visualize(
+        str(tmp_path / "vis.png"), m, cam, attr="heat",
+        points=np.asarray([[0.0, 1.2, 0.0]]),
+        rays=(np.asarray([[0.0, 0.0, -2.0]]), np.asarray([[0.0, 1.0, 0.0]])),
+    )
+    assert img.shape == (48, 64, 3)
+    assert np.isfinite(img).all()
+    assert (tmp_path / "vis.png").exists()
+    # the sphere occupies the center; background is white
+    assert img[24, 32].mean() < 0.99
+    assert img[2, 2].mean() > 0.99
+
+
+def test_remesh_to_target():
+    """Split-long/collapse-short remeshing converges edge lengths toward
+    the target and preserves attribute interpolation (reference
+    scripts/remeshing.ipynb via gpytoolbox)."""
+    import numpy as np
+
+    from volprim_tpu.scene import mesh as mesh_mod
+    from volprim_tpu.tooling import remesh
+
+    m = mesh_mod.make_icosphere([0.0, 0.0, 0.0], 1.0, subdiv=1)
+    import jax.numpy as jnp
+
+    m = mesh_mod.TriangleMesh(
+        m.vertices, m.faces, {"c": m.vertices[:, :1] * 0.5 + 0.5}
+    )
+    med0 = float(np.median(remesh.edge_lengths(m)))
+
+    fine = remesh.remesh_to_target(m, med0 / 4.0)
+    med_f = float(np.median(remesh.edge_lengths(fine)))
+    assert med_f < med0 / 2.0
+    assert fine.num_faces > 4 * m.num_faces
+    # surface stays near the unit sphere
+    r = np.linalg.norm(np.asarray(fine.vertices), axis=1)
+    assert 0.8 < r.min() and r.max() < 1.1
+    # attributes carried and in range
+    c = np.asarray(fine.attrs["c"])
+    assert c.shape[0] == fine.num_vertices
+    assert (c >= -0.01).all() and (c <= 1.01).all()
+
+    coarse = remesh.remesh_to_target(fine, med0)
+    med_c = float(np.median(remesh.edge_lengths(coarse)))
+    assert med_c > med_f * 1.5
+    # faces remain valid indices, no degenerates
+    f = np.asarray(coarse.faces)
+    assert f.max() < coarse.num_vertices
+    assert (
+        (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 2] != f[:, 0])
+    ).all()
