@@ -198,3 +198,64 @@ def test_prb_sharded_render_and_grad_match():
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g8), rtol=2e-3, atol=1e-7
     )
+
+
+def test_rf_tiled_compact_and_classes_sharded():
+    """Round-3 paths under the mesh: kernel_compact stays bitwise-equal
+    sharded vs single-device; budget_classes is statistically equal (the
+    per-shard need ordering changes class assignment) — check PSNR."""
+    from volprim_tpu.models import rf_tiled
+
+    s = surface_scene_big()
+    cam = scene.CameraSpecs(
+        name="c", width=64, height=64,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    mesh = parallel.data_mesh()
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=48, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128,
+        use_clusters=True, cluster_size=16, backend="fused",
+        kernel_compact=True, kernel_batch=2,
+    )
+    state = rf_tiled.build_state(s, cfg)
+    img1 = jax.jit(
+        lambda st: rf_tiled.render_state(st, cam, cfg, None, spp=1, seed=1)
+    )(state)
+    img8 = jax.jit(
+        lambda st: rf_tiled.render_state(
+            st, cam, cfg, None, spp=1, seed=1, mesh=mesh
+        )
+    )(state)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
+
+    cfg_c = rf_tiled.RFTiledConfig(
+        max_depth=48, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128,
+        use_clusters=True, cluster_size=16, backend="fused",
+        # per-shard sorting with only 2 tiles/shard makes class
+        # ASSIGNMENT degenerate (documented: statistically equal only at
+        # realistic tiles/shard); budgets that cover need per class test
+        # the sharded mechanism itself
+        budget_classes=((0.5, 64), (0.5, 200)), kernel_batch=2,
+    )
+    st_c = rf_tiled.build_state(s, cfg_c)
+    i1 = np.asarray(
+        jax.jit(
+            lambda st: rf_tiled.render_state(
+                st, cam, cfg_c, None, spp=1, seed=1
+            )
+        )(st_c)
+    )
+    i8 = np.asarray(
+        jax.jit(
+            lambda st: rf_tiled.render_state(
+                st, cam, cfg_c, None, spp=1, seed=1, mesh=mesh
+            )
+        )(st_c)
+    )
+    assert np.isfinite(i8).all()
+    mse = np.mean((i1 - i8) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 25.0, f"sharded classes PSNR {psnr:.1f}"
