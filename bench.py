@@ -609,6 +609,9 @@ def main():
             tail_after=1 if tail_on else 1,
             tail_windows=6 if tail_on else 0,
             tail_budget=48 if tail_on else 0,
+            # diagnostics: BENCH_PRB_NEE=0 ablates next-event estimation
+            # (shadow-ray transmittance) to attribute its cost share
+            use_nee=os.environ.get("BENCH_PRB_NEE", "1") != "0",
         )
         pj = jax.jit(
             lambda p, s: vmodels.render(
@@ -617,6 +620,11 @@ def main():
         )
         img_p = pj(smoke, jnp.int32(0))
         assert np.isfinite(np.asarray(img_p)).all()
+        print(
+            f"prb smoke mean radiance {float(np.mean(np.asarray(img_p))):.5f}"
+            " (tail-cap bias check)",
+            file=sys.stderr,
+        )
         pts = []
         for i in range(3):
             t0 = time.perf_counter()
