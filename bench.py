@@ -539,6 +539,7 @@ def main():
                 early_exit=True,
                 coarse_group=cg, coarse_factor=cf0, super_group=sg0,
                 kernel_batch=kb, refine_fraction=0.0,
+                kernel_compact=compact0,
             )
             params = dict(
                 centers=scene.centers, scales=scene.scales,
