@@ -607,6 +607,8 @@ def main():
         pcfg = prb_mod.PRBConfig(
             max_depth=-1, bounce_cap=32, max_overlaps=8, max_windows=16,
             collect_budget=128, use_clusters=False,
+            # 4x fewer (sort-bound) collection merges at smoke scale
+            chunk_size=4096,
             tail_after=1 if tail_on else 1,
             tail_windows=6 if tail_on else 0,
             tail_budget=48 if tail_on else 0,

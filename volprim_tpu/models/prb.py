@@ -215,12 +215,16 @@ def _gather_intervals(
         entry = jnp.maximum(t_near, t_min[:, None])
         valid = valid & (t_far > t_min[:, None])
         entry = jnp.where(valid, entry, inf)
-        ck = min(k, c)
-        neg_t, idx = jax.lax.top_k(-entry, ck)
-        ids = chunk_idx * c + idx.astype(jnp.int32)
-        exits = jnp.take_along_axis(jnp.where(valid, t_far, inf), idx, axis=-1)
-        cand_t = jnp.concatenate([best_t, -neg_t], axis=-1)
-        cand_exit = jnp.concatenate([best_exit, exits], axis=-1)
+        # ONE top_k per chunk over [best | chunk] directly — a per-chunk
+        # pre-select + merge doubled the (sort-bound) top_k call count,
+        # which dominated collection at smoke scale (round-3 profiling)
+        ids = jnp.broadcast_to(
+            chunk_idx * c + jnp.arange(c, dtype=jnp.int32), entry.shape
+        )
+        cand_t = jnp.concatenate([best_t, entry], axis=-1)
+        cand_exit = jnp.concatenate(
+            [best_exit, jnp.where(valid, t_far, inf)], axis=-1
+        )
         cand_id = jnp.concatenate([best_id, ids], axis=-1)
         neg_t2, sel = jax.lax.top_k(-cand_t, k)
         return (
