@@ -98,7 +98,7 @@ def main():
 
     def collect(s):
         oo = o + s.astype(jnp.float32) * 1e-12
-        e, x, i_, tb = prb_mod._collect_intervals(smoke, None, oo, d, cfg)
+        e, x, i_, tb, _ft = prb_mod._collect_intervals(smoke, None, oo, d, cfg)
         return jnp.sum(e, where=jnp.isfinite(e)) + jnp.sum(tb, where=jnp.isfinite(tb))
 
     fn = jax.jit(collect)
@@ -163,7 +163,7 @@ def window_stats(prb_mod, prims, o, d, xi, cfg):
     def collect():
         return prb_mod._collect_intervals(prims, None, o, d, cfg)
 
-    entry_all, exit_all, ids_all, t_budget = collect()
+    entry_all, exit_all, ids_all, t_budget, _ft = collect()
     n_open = np.asarray(jnp.sum(jnp.isfinite(entry_all), axis=-1))
 
     @jax.jit

@@ -112,6 +112,17 @@ class PRBConfig:
     tail_overlaps: int = 0
     tail_windows: int = 0
     tail_budget: int = 0
+    # Block-jump free flight (round 3): collection carries each interval's
+    # full optical depth, whose entry-ordered cumulative sum upper-bounds
+    # F(t) at block boundaries; the walk jumps straight to the block where
+    # exp(-F) crosses the sample and runs only jump_windows windows from
+    # there (the 16-window sequential walk's per-window selections +
+    # gathers dominated prb, round-3 profiling: free flight was 1.84 s of
+    # a 1.5 s frame). Exact: the jump transmittance is the closed-form
+    # F(b) (entered full taus minus open-interval tail corrections).
+    # Gaussian fast-path + brute collection only; off -> sequential walk.
+    jump: bool = True
+    jump_windows: int = 4
 
     def tail_cfg(self) -> "PRBConfig":
         if not (self.tail_overlaps or self.tail_windows or self.tail_budget):
@@ -183,11 +194,17 @@ def _gather_intervals(
     t_min: jnp.ndarray,
     k: int,
     chunk_size: int,
+    kern: Optional[Kernel] = None,
 ):
     """Per-ray K nearest [entry, exit) extent-ellipsoid intervals with
     entry >= t_min (entries clamped to t_min for overlapping primitives).
 
-    Returns (entry [R, k] ascending, exit [R, k], ids [R, k], count [R]).
+    Returns (entry [R, k] ascending, exit [R, k], ids [R, k], count [R],
+    full_tau [R, k] or None). With ``kern`` (Gaussian fast path),
+    ``full_tau`` carries each interval's WHOLE optical depth
+    sigma_t * D(entry, exit) — one erf pair per candidate at collection
+    time — enabling the block-jump free flight (cumulative upper bounds
+    on F(t) without per-window re-gathers).
     """
     padded = pad_primitives(prims, chunk_size)
     n = padded.num_prims
@@ -197,13 +214,21 @@ def _gather_intervals(
     scales = padded.scales.reshape(n_chunks, c, 3)
     quats = padded.quats.reshape(n_chunks, c, 4)
     real = jnp.arange(n).reshape(n_chunks, c) < prims.num_prims
+    with_tau = kern is not None
+    if with_tau:
+        from ..ops import kernels as kernel_ops
+
+        sig_pad = padded.attrs["sigma_t"][:, 0].reshape(n_chunks, c)
+        sprod_pad = (
+            padded.scales[:, 0] * padded.scales[:, 1] * padded.scales[:, 2]
+        ).reshape(n_chunks, c)
 
     r = o.shape[0]
     inf = jnp.inf
 
     def body(carry, inputs):
-        best_t, best_exit, best_id = carry
-        chunk_idx, ctr, scl, qt, is_real = inputs
+        best_t, best_exit, best_id, best_tau = carry
+        chunk_idx, ctr, scl, qt, is_real, sig_c, sp_c = inputs
         coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, t_near, t_far = quadric.intersect_extent(coeffs, padded.extent)
         valid = valid & is_real[None, :]
@@ -227,22 +252,37 @@ def _gather_intervals(
         )
         cand_id = jnp.concatenate([best_id, ids], axis=-1)
         neg_t2, sel = jax.lax.top_k(-cand_t, k)
+        if with_tau:
+            tau_c = sig_c[None, :] * kernel_ops.gaussian_integral_segment(
+                coeffs, sp_c[None, :], entry, t_far, valid
+            )
+            cand_tau = jnp.concatenate([best_tau, tau_c], axis=-1)
+            tau_out = jnp.take_along_axis(cand_tau, sel, axis=-1)
+        else:
+            tau_out = best_tau
         return (
             -neg_t2,
             jnp.take_along_axis(cand_exit, sel, axis=-1),
             jnp.take_along_axis(cand_id, sel, axis=-1),
+            tau_out,
         ), None
 
     init = (
         jnp.full((r, k), inf, o.dtype),
         jnp.full((r, k), inf, o.dtype),
         jnp.zeros((r, k), jnp.int32),
+        jnp.zeros((r, k), o.dtype),
     )
-    (entry, exit_t, ids), _ = jax.lax.scan(
-        body, init, (jnp.arange(n_chunks), centers, scales, quats, real)
-    )
+    if with_tau:
+        xs = (jnp.arange(n_chunks), centers, scales, quats, real,
+              sig_pad, sprod_pad)
+    else:
+        zero_c = jnp.zeros((n_chunks, c), o.dtype)
+        xs = (jnp.arange(n_chunks), centers, scales, quats, real,
+              zero_c, zero_c)
+    (entry, exit_t, ids, full_tau), _ = jax.lax.scan(body, init, xs)
     count = jnp.sum(jnp.isfinite(entry), axis=-1)
-    return entry, exit_t, ids, count
+    return entry, exit_t, ids, count, (full_tau if with_tau else None)
 
 
 def _collect_intervals(
@@ -262,23 +302,31 @@ def _collect_intervals(
     (:func:`_window_from_collected`) instead of rescanning primitives.
 
     Returns (entry [R, kp] ascending by raw entry, exit [R, kp], ids
-    [R, kp] into the work scene, t_budget [R]). ``t_budget`` is the
-    distance beyond which the collection is incomplete (the budget overflow
-    bound — finite only when more geometry exists than fits the budget;
-    rays that reach it unresolved die, like the reference's
-    max_depth_primitive cap, prb:456-459).
+    [R, kp] into the work scene, t_budget [R], full_tau [R, kp] or None).
+    ``t_budget`` is the distance beyond which the collection is incomplete
+    (the budget overflow bound — finite only when more geometry exists
+    than fits the budget; rays that reach it unresolved die, like the
+    reference's max_depth_primitive cap, prb:456-459). ``full_tau``
+    (brute path + Gaussian fast kernel only) carries per-interval whole
+    optical depths for the block-jump walk.
     """
     kp = cfg.interval_budget
     r = o.shape[0]
     inf = jnp.inf
 
     if not cfg.use_clusters:
+        kern = cfg.kernel
+        fast = (
+            kern.type == "gaussian" and not kern.normalized
+            and not kern.full_range
+        )
         zeros = jnp.zeros((r,), o.dtype)
-        entry, exit_t, ids, count = _gather_intervals(
-            primitives, o, d, zeros, kp, cfg.chunk_size
+        entry, exit_t, ids, count, full_tau = _gather_intervals(
+            primitives, o, d, zeros, kp, cfg.chunk_size,
+            kern=kern if fast else None,
         )
         t_budget = jnp.where(count >= kp, entry[:, -1], inf)
-        return entry, exit_t, ids, t_budget
+        return entry, exit_t, ids, t_budget, full_tau
 
     prims = index.prims
     cs = index.cluster_size
@@ -363,7 +411,7 @@ def _collect_intervals(
     t_budget = jnp.minimum(
         jnp.where(count >= kp, entry_k[:, kp - 1], inf), t_budget_cl
     )
-    return entry_k, exit_k, ids_k, t_budget
+    return entry_k, exit_k, ids_k, t_budget, None
 
 
 def _window_from_collected(
@@ -605,9 +653,71 @@ def free_flight(
 
     # All interval collection happens ONCE per bounce; windows select from
     # the precollected set below (round-2 redesign; see _collect_intervals).
-    entry_all, exit_all, ids_all, t_budget = _collect_intervals(
+    entry_all, exit_all, ids_all, t_budget, full_tau = _collect_intervals(
         primitives, index, o, d, cfg
     )
+
+    # ---- block jump: start the walk at the crossing block ---------------
+    use_jump = cfg.jump and (full_tau is not None)
+    if use_jump:
+        from ..ops import kernels as kernel_ops
+
+        kp = entry_all.shape[1]
+        n_blocks = max(1, kp // k)
+        fin = jnp.isfinite(entry_all)
+        tau_fin = jnp.where(fin, full_tau, 0.0)
+        cum = jnp.cumsum(tau_fin, axis=-1)  # inclusive, entry order
+        # F upper bound at boundary j (= entry of interval j*k): full taus
+        # of every interval entering before it
+        bidx = jnp.arange(1, n_blocks) * k
+        f_ub = cum[:, bidx - 1] if n_blocks > 1 else jnp.zeros((r, 0))
+        chi = -jnp.log(
+            jnp.maximum(jax.lax.stop_gradient(xi), 1e-30)
+        )
+        jb = jnp.sum(f_ub <= chi[:, None], axis=-1)  # 0..B-1, crossing-safe
+        count = jnp.sum(fin, axis=-1)
+        jb = jnp.minimum(jb, jnp.maximum((count - 1) // k, 0))
+        b_t = jnp.take_along_axis(
+            entry_all, jnp.minimum(jb * k, kp - 1)[:, None], axis=-1
+        )[:, 0]
+        b_t = jnp.where((jb > 0) & jnp.isfinite(b_t), b_t, 0.0)
+        b_t = jnp.minimum(b_t, jnp.minimum(t_cap, t_budget))
+        b_t = jnp.maximum(b_t, 0.0)
+        # exact F(b_t): entered full taus minus the still-open intervals'
+        # beyond-b_t tails (the open set is the <= K intervals the first
+        # window will select; >K simultaneous overlaps lose their tail
+        # here exactly like the walk drops their density)
+        entered = fin & (entry_all < b_t[:, None])
+        f_entered = jnp.sum(jnp.where(entered, tau_fin, 0.0), axis=-1)
+        _, _, sel_w, valid_w, _, _ = _window_from_collected(
+            entry_all, exit_all, b_t, k
+        )
+        raw_entry_w = jnp.take_along_axis(entry_all, sel_w, axis=-1)
+        opened = valid_w & (raw_entry_w < b_t[:, None])
+        ids_w = jnp.take_along_axis(ids_all, sel_w, axis=-1)
+        coeffs_w = quadric.pair_coeffs_gathered(
+            o, d, work.centers, work.scales, work.quats, ids_w
+        )
+        sig_w = jnp.where(opened, sig_all[ids_w], 0.0)
+        sp_w = sprod_all[ids_w]
+        tau_full_w = jnp.where(
+            opened,
+            jnp.take_along_axis(tau_fin, sel_w, axis=-1), 0.0,
+        )
+        tau_part_w = sig_w * kernel_ops.gaussian_integral_segment(
+            coeffs_w, sp_w, raw_entry_w,
+            jnp.broadcast_to(b_t[:, None], raw_entry_w.shape), opened,
+        )
+        f_exact = f_entered - jnp.sum(
+            jnp.maximum(tau_full_w - tau_part_w, 0.0), axis=-1
+        )
+        t_min0 = b_t
+        trans0 = jnp.exp(-jnp.maximum(f_exact, 0.0))
+        n_windows = min(cfg.max_windows, cfg.jump_windows)
+    else:
+        t_min0 = jnp.zeros((r,), o.dtype)
+        trans0 = jnp.ones((r,), o.dtype)
+        n_windows = cfg.max_windows
 
     def window_step(carry, _):
         # Skip the whole window (selection + segment scan) once every ray is
@@ -681,8 +791,8 @@ def free_flight(
         )
 
     init = (
-        jnp.zeros((r,), o.dtype),  # t_min
-        jnp.ones((r,), o.dtype),  # trans
+        t_min0,  # t_min (0, or the jump block's boundary)
+        trans0,  # trans (1, or exp(-F) at the jump boundary)
         jnp.zeros((r,), bool),  # found
         jnp.zeros((r,), bool),  # resolved (found or confirmed escape)
         jnp.zeros((r,), bool),  # bdead (pinned at the collection budget)
@@ -692,7 +802,7 @@ def free_flight(
     )
     (t_min, trans, found, resolved, bdead, t_samp, albedo,
      density_at_sample), _ = (
-        jax.lax.scan(window_step, init, None, length=cfg.max_windows)
+        jax.lax.scan(window_step, init, None, length=n_windows)
     )
 
     dead = active & ~resolved  # window/collection budget exhausted
