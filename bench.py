@@ -381,6 +381,7 @@ def main():
     cg = int(os.environ.get("BENCH_CG", "4"))
     kb = int(os.environ.get("BENCH_KB", "4"))
     mc0 = int(os.environ.get("BENCH_MC", "2048"))
+    seg0 = int(os.environ.get("BENCH_SEG", "256"))
     rf0 = float(os.environ.get("BENCH_REFINE", "0.125"))
     cf0 = int(os.environ.get("BENCH_CF", "8"))
     sg0 = int(os.environ.get("BENCH_SG", "4"))
@@ -395,7 +396,7 @@ def main():
     def build(mc, refine=rf0, classes=classes0):
         cfg = rf_tiled.RFTiledConfig(
             max_depth=128, tile_pixels=tp, max_candidates=mc,
-            segment=min(256, mc), cluster_size=cs, backend="fused",
+            segment=min(seg0, mc), cluster_size=cs, backend="fused",
             early_exit=True, coarse_group=cg,
             refine_fraction=0.0 if classes else refine,
             refine_factor=4, kernel_batch=kb, coarse_factor=cf0,
@@ -531,7 +532,7 @@ def main():
         try:
             tcfg = rf_tiled.RFTiledConfig(
                 max_depth=128, tile_pixels=tp, max_candidates=mc0,
-                segment=min(256, mc0), cluster_size=cs, backend="fused",
+                segment=min(seg0, mc0), cluster_size=cs, backend="fused",
                 # the fused backend stays differentiable with early exit:
                 # composite_tiles3_ad's custom-VJP backward re-walks the
                 # live segments itself (only the XLA backend's while_loop

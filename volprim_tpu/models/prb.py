@@ -123,6 +123,13 @@ class PRBConfig:
     # Gaussian fast-path + brute collection only; off -> sequential walk.
     jump: bool = True
     jump_windows: int = 4
+    # Escape-aware free flight (round 3): with the collected full taus,
+    # chi > F(t_eff) decides escape/budget-death in closed form BEFORE any
+    # window runs (97% of bench-smoke camera rays escape); the remaining
+    # crossing rays are stable-sorted to the front and walked in fixed
+    # ff_chunk-ray chunks whose all-escape chunks skip entirely. 0 runs
+    # the walk unchunked over the full wavefront.
+    ff_chunk: int = 8192
 
     def tail_cfg(self) -> "PRBConfig":
         if not (self.tail_overlaps or self.tail_windows or self.tail_budget):
@@ -599,6 +606,21 @@ def _free_flight_window(
     return trans_out, found, t_samp, trans_samp
 
 
+def _chunk_for(r: int, cap: int) -> int:
+    """Largest divisor of ``r`` that is <= min(cap, r // 8) (>= 128), or 0
+    when no useful chunking exists. Sub-wavefront compaction pays only
+    when several chunks can skip; processing fewer than 8 chunks of at
+    least 128 rays keeps the vector units busy while letting ~7/8 of the
+    wavefront skip the walk."""
+    if not cap or r < 1024:
+        return 0
+    target = min(cap, r // 8)
+    for w in range(target, 127, -1):
+        if r % w == 0:
+            return w
+    return 0
+
+
 def build_ff_index(primitives: EllipsoidScene, cfg: PRBConfig):
     """Morton-cluster index for free-flight interval gathering (build once
     per scene/bounce-loop, not per window)."""
@@ -657,153 +679,280 @@ def free_flight(
         primitives, index, o, d, cfg
     )
 
-    # ---- block jump: start the walk at the crossing block ---------------
-    use_jump = cfg.jump and (full_tau is not None)
-    if use_jump:
+    # ---- generic window walk over an (optionally chunked) wavefront ------
+    def _run_windows(
+        o_w, d_w, xi_w, entry_w, exit_w, ids_w, t_budget_w, t_cap_w,
+        act_w, t_min0, trans0, n_windows,
+    ):
+        rw = o_w.shape[0]
+
+        def window_step(carry, _):
+            # Skip the whole window (selection + segment scan) once every
+            # ray is resolved or budget-dead — the common case after the
+            # first window.
+            pred = jnp.any(act_w & ~carry[3] & ~carry[4])
+            return jax.lax.cond(pred, _window_body, lambda c: c, carry), None
+
+        def _window_body(carry):
+            (t_min, trans, found, resolved, bdead, t_samp, albedo,
+             density_at_sample) = carry
+            win_active = act_w & ~resolved & ~bdead
+            entry, exit_t, sel, valid_sel, t_limit, has_more = (
+                _window_from_collected(entry_w, exit_w, t_min, k)
+            )
+            ids = jnp.take_along_axis(ids_w, sel, axis=-1)
+            coeffs = quadric.pair_coeffs_gathered(
+                o_w, d_w, work.centers, work.scales, work.quats, ids
+            )
+            sigma_t = jnp.where(valid_sel, sig_all[ids], 0.0)
+            s_prod = sprod_all[ids]
+            # The walk may not pass the collection budget: density beyond
+            # it is unknown. Rays pinned at the budget die (reference
+            # max_depth_primitive semantics). A surface cap (t_cap) instead
+            # *resolves* the ray when reached.
+            t_limit = jnp.minimum(t_limit, t_budget_w)
+            hit_cap = t_limit >= t_cap_w
+            t_limit = jnp.minimum(t_limit, t_cap_w)
+            full = has_more | jnp.isfinite(t_budget_w)
+
+            trans_new, found_w, ts_w, trans_samp = _free_flight_window(
+                kern, entry, exit_t, coeffs, sigma_t, s_prod, t_limit,
+                trans, xi_w, win_active,
+                cfg.solver_max_iterations, cfg.solver_type,
+            )
+
+            # Albedo at newly found interactions (prb:434-511, primal
+            # estimator; the reference's 3-term manual adjoint is exact AD
+            # here plus the score factor below).
+            new_found = win_active & found_w
+            q_at = (
+                coeffs.a * ts_w[:, None] + 2.0 * coeffs.b
+            ) * ts_w[:, None] + coeffs.c
+            cover = (entry <= ts_w[:, None]) & (exit_t >= ts_w[:, None])
+            pdf_j = jnp.where(cover, kern.pdf_q(q_at, s_prod) * sigma_t, 0.0)
+            accum_pdf = jnp.sum(pdf_j, axis=-1)
+            # per-channel gathers: a gathered [R, K, 3] pads 42x on TPU
+            accum_alb = jnp.stack(
+                [jnp.sum(pdf_j * alb_all[:, ch][ids], axis=-1)
+                 for ch in range(3)],
+                axis=-1,
+            )
+            alb_w = accum_alb * _safe_rcp(accum_pdf)[:, None]
+
+            trans = jnp.where(win_active, trans_new, trans)
+            t_samp = jnp.where(new_found, ts_w, t_samp)
+            albedo = jnp.where(new_found[:, None], alb_w, albedo)
+            # Sampling density at the interaction: sum_j sigma_t_j pdf_j(t_s)
+            # times T(0 -> t_s) — both differentiable.
+            density_at_sample = jnp.where(
+                new_found, accum_pdf * trans_samp, density_at_sample
+            )
+            found = found | new_found
+            resolved = resolved | found | (
+                win_active & ~found_w & (~full | hit_cap)
+            )
+            # pinned at the budget: no further progress is possible
+            bdead = bdead | (
+                win_active & ~found_w & full & ~hit_cap
+                & (t_limit >= t_budget_w)
+            )
+            t_min = jnp.where(win_active & ~resolved & ~bdead, t_limit, t_min)
+            return (
+                t_min, trans, found, resolved, bdead, t_samp, albedo,
+                density_at_sample,
+            )
+
+        init = (
+            t_min0,  # t_min (0, or the jump block's boundary)
+            trans0,  # trans (1, or exp(-F) at the jump boundary)
+            jnp.zeros((rw,), bool),  # found
+            jnp.zeros((rw,), bool),  # resolved (found or confirmed escape)
+            jnp.zeros((rw,), bool),  # bdead (pinned at collection budget)
+            jnp.full((rw,), jnp.inf, o_w.dtype),  # t_samp
+            jnp.zeros((rw, 3), o_w.dtype),  # albedo
+            jnp.ones((rw,), o_w.dtype),  # density_at_sample (diff. pdf)
+        )
+        (t_min, trans, found, resolved, bdead, t_samp, albedo,
+         density_at_sample), _ = (
+            jax.lax.scan(window_step, init, None, length=n_windows)
+        )
+        return (
+            found, resolved, bdead, t_samp, albedo, density_at_sample,
+            trans,
+        )
+
+    # ---- exact F(t) at a point: entered full taus minus the still-open
+    # intervals' beyond-t tails (the open set is the <= K intervals a
+    # window would select; >K simultaneous overlaps lose their tail here
+    # exactly like the walk drops their density) ------------------------
+    def _f_exact_at(o_w, d_w, entry_w, exit_w, ids_w, tau_fin_w, t_pt):
         from ..ops import kernels as kernel_ops
 
-        kp = entry_all.shape[1]
-        n_blocks = max(1, kp // k)
-        fin = jnp.isfinite(entry_all)
-        tau_fin = jnp.where(fin, full_tau, 0.0)
-        cum = jnp.cumsum(tau_fin, axis=-1)  # inclusive, entry order
-        # F upper bound at boundary j (= entry of interval j*k): full taus
-        # of every interval entering before it
-        bidx = jnp.arange(1, n_blocks) * k
-        f_ub = cum[:, bidx - 1] if n_blocks > 1 else jnp.zeros((r, 0))
-        chi = -jnp.log(
-            jnp.maximum(jax.lax.stop_gradient(xi), 1e-30)
-        )
-        jb = jnp.sum(f_ub <= chi[:, None], axis=-1)  # 0..B-1, crossing-safe
-        count = jnp.sum(fin, axis=-1)
-        jb = jnp.minimum(jb, jnp.maximum((count - 1) // k, 0))
-        b_t = jnp.take_along_axis(
-            entry_all, jnp.minimum(jb * k, kp - 1)[:, None], axis=-1
-        )[:, 0]
-        b_t = jnp.where((jb > 0) & jnp.isfinite(b_t), b_t, 0.0)
-        b_t = jnp.minimum(b_t, jnp.minimum(t_cap, t_budget))
-        b_t = jnp.maximum(b_t, 0.0)
-        # exact F(b_t): entered full taus minus the still-open intervals'
-        # beyond-b_t tails (the open set is the <= K intervals the first
-        # window will select; >K simultaneous overlaps lose their tail
-        # here exactly like the walk drops their density)
-        entered = fin & (entry_all < b_t[:, None])
-        f_entered = jnp.sum(jnp.where(entered, tau_fin, 0.0), axis=-1)
+        fin_w = jnp.isfinite(entry_w)
+        entered = fin_w & (entry_w < t_pt[:, None])
+        f_entered = jnp.sum(jnp.where(entered, tau_fin_w, 0.0), axis=-1)
         _, _, sel_w, valid_w, _, _ = _window_from_collected(
-            entry_all, exit_all, b_t, k
+            entry_w, exit_w, t_pt, k
         )
-        raw_entry_w = jnp.take_along_axis(entry_all, sel_w, axis=-1)
-        opened = valid_w & (raw_entry_w < b_t[:, None])
-        ids_w = jnp.take_along_axis(ids_all, sel_w, axis=-1)
+        raw_entry_w = jnp.take_along_axis(entry_w, sel_w, axis=-1)
+        opened = valid_w & (raw_entry_w < t_pt[:, None])
+        ids_s = jnp.take_along_axis(ids_w, sel_w, axis=-1)
         coeffs_w = quadric.pair_coeffs_gathered(
-            o, d, work.centers, work.scales, work.quats, ids_w
+            o_w, d_w, work.centers, work.scales, work.quats, ids_s
         )
-        sig_w = jnp.where(opened, sig_all[ids_w], 0.0)
-        sp_w = sprod_all[ids_w]
+        sig_w = jnp.where(opened, sig_all[ids_s], 0.0)
+        sp_w = sprod_all[ids_s]
         tau_full_w = jnp.where(
             opened,
-            jnp.take_along_axis(tau_fin, sel_w, axis=-1), 0.0,
+            jnp.take_along_axis(tau_fin_w, sel_w, axis=-1), 0.0,
         )
         tau_part_w = sig_w * kernel_ops.gaussian_integral_segment(
             coeffs_w, sp_w, raw_entry_w,
-            jnp.broadcast_to(b_t[:, None], raw_entry_w.shape), opened,
+            jnp.broadcast_to(t_pt[:, None], raw_entry_w.shape), opened,
         )
-        f_exact = f_entered - jnp.sum(
+        return f_entered - jnp.sum(
             jnp.maximum(tau_full_w - tau_part_w, 0.0), axis=-1
         )
-        t_min0 = b_t
-        trans0 = jnp.exp(-jnp.maximum(f_exact, 0.0))
-        n_windows = min(cfg.max_windows, cfg.jump_windows)
+
+    use_jump = cfg.jump and (full_tau is not None)
+    if not use_jump:
+        # sequential walk from t = 0 over the full wavefront
+        found, resolved, bdead, t_samp, albedo, density_at_sample, trans = (
+            _run_windows(
+                o, d, xi, entry_all, exit_all, ids_all, t_budget, t_cap,
+                active, jnp.zeros((r,), o.dtype), jnp.ones((r,), o.dtype),
+                cfg.max_windows,
+            )
+        )
+        dead = active & ~resolved  # window/collection budget exhausted
+        escaped = active & resolved & ~found
+        score_found = _score_ratio(density_at_sample, found)
+        score_escape = _score_ratio(trans, escaped)
+        return found, dead, t_samp, albedo, score_found, score_escape
+
+    # ---- jump path: resolve escapes in closed form, then walk only the
+    # rays whose transmittance actually crosses the sample (round 3: 97%
+    # of bench rays escape — they pay two sums instead of four windows) --
+    kp = entry_all.shape[1]
+    fin = jnp.isfinite(entry_all)
+    tau_fin = jnp.where(fin, full_tau, 0.0)
+    chi = -jnp.log(jnp.maximum(jax.lax.stop_gradient(xi), 1e-30))
+
+    # Exact survived optical depth at t_eff = min(t_cap, t_budget): the
+    # walk can never pass t_eff, so  chi > F(t_eff)  <=>  no crossing.
+    t_eff = jnp.minimum(t_cap, t_budget)
+    f_total = jnp.sum(tau_fin, axis=-1)  # exact F(inf): all taus complete
+    fin_eff = jnp.isfinite(t_eff)
+
+    def _corrected(_):
+        t_pt = jnp.where(fin_eff, t_eff, 0.0)
+        return _f_exact_at(o, d, entry_all, exit_all, ids_all, tau_fin, t_pt)
+
+    # the tail correction costs a selection + K gathers; skip it entirely
+    # when no ray is surface- or budget-capped (common for pure media)
+    f_corr = jax.lax.cond(
+        jnp.any(fin_eff), _corrected, lambda _: f_total, 0
+    )
+    f_eff = jnp.where(fin_eff, f_corr, f_total)
+    will_cross = jax.lax.stop_gradient(f_eff) > chi
+    no_cross = active & ~will_cross
+    # no crossing before the budget bound -> the reference's
+    # max_depth_primitive kill (prb:456-459); before a surface cap or at
+    # infinity -> exact escape with T = exp(-F(t_eff))
+    budget_kill = no_cross & jnp.isfinite(t_budget) & (t_budget < t_cap)
+    trans_jump = jnp.exp(-jnp.maximum(f_eff, 0.0))
+
+    needy = active & will_cross
+
+    def _jump_walk(o_c, d_c, xi_c, e_c, x_c, i_c, tf_c, tb_c, tc_c, ny_c):
+        """Block-jump + windows for one (compacted) ray chunk."""
+        rc_ = o_c.shape[0]
+        n_blocks = max(1, kp // k)
+        cum = jnp.cumsum(tf_c, axis=-1)  # inclusive, entry order
+        # F upper bound at boundary j (= entry of interval j*k): full taus
+        # of every interval entering before it
+        bidx = jnp.arange(1, n_blocks) * k
+        f_ub = cum[:, bidx - 1] if n_blocks > 1 else jnp.zeros((rc_, 0))
+        chi_c = -jnp.log(jnp.maximum(jax.lax.stop_gradient(xi_c), 1e-30))
+        jb = jnp.sum(f_ub <= chi_c[:, None], axis=-1)  # crossing-safe
+        count = jnp.sum(jnp.isfinite(e_c), axis=-1)
+        jb = jnp.minimum(jb, jnp.maximum((count - 1) // k, 0))
+        b_t = jnp.take_along_axis(
+            e_c, jnp.minimum(jb * k, kp - 1)[:, None], axis=-1
+        )[:, 0]
+        b_t = jnp.where((jb > 0) & jnp.isfinite(b_t), b_t, 0.0)
+        b_t = jnp.minimum(b_t, jnp.minimum(tc_c, tb_c))
+        b_t = jnp.maximum(b_t, 0.0)
+        f_b = _f_exact_at(o_c, d_c, e_c, x_c, i_c, tf_c, b_t)
+        trans0 = jnp.exp(-jnp.maximum(f_b, 0.0))
+        return _run_windows(
+            o_c, d_c, xi_c, e_c, x_c, i_c, tb_c, tc_c, ny_c,
+            b_t, trans0, min(cfg.max_windows, cfg.jump_windows),
+        )
+
+    wc = _chunk_for(r, cfg.ff_chunk)
+    if wc:
+        # Needy-ray compaction: stable-sort crossing rays to the front and
+        # walk fixed chunks; all-escape chunks skip selection + gathers +
+        # the segment scan entirely (lax.cond).
+        order = jnp.argsort(~needy, stable=True)
+        nc = r // wc
+
+        def chunk_fn(args):
+            (oc, dc, xc, ec, xtc, ic, tfc, tbc, tcc, nyc) = args
+
+            def skip(_):
+                return (
+                    jnp.zeros((wc,), bool), jnp.zeros((wc,), bool),
+                    jnp.zeros((wc,), bool),
+                    jnp.full((wc,), jnp.inf, o.dtype),
+                    jnp.zeros((wc, 3), o.dtype),
+                    jnp.ones((wc,), o.dtype), jnp.ones((wc,), o.dtype),
+                )
+
+            return jax.lax.cond(
+                jnp.any(nyc),
+                lambda _: _jump_walk(
+                    oc, dc, xc, ec, xtc, ic, tfc, tbc, tcc, nyc
+                ),
+                skip, 0,
+            )
+
+        perm = lambda a: jnp.take(a, order, axis=0)
+        outs = jax.lax.map(
+            chunk_fn,
+            (
+                perm(o).reshape(nc, wc, 3), perm(d).reshape(nc, wc, 3),
+                perm(xi).reshape(nc, wc),
+                perm(entry_all).reshape(nc, wc, kp),
+                perm(exit_all).reshape(nc, wc, kp),
+                perm(ids_all).reshape(nc, wc, kp),
+                perm(tau_fin).reshape(nc, wc, kp),
+                perm(t_budget).reshape(nc, wc),
+                perm(t_cap).reshape(nc, wc),
+                perm(needy).reshape(nc, wc),
+            ),
+        )
+        inv = jnp.argsort(order)
+        (w_found, w_resolved, w_bdead, w_tsamp, w_alb, w_dens, w_trans) = (
+            jnp.take(x.reshape((r,) + x.shape[2:]), inv, axis=0)
+            for x in outs
+        )
     else:
-        t_min0 = jnp.zeros((r,), o.dtype)
-        trans0 = jnp.ones((r,), o.dtype)
-        n_windows = cfg.max_windows
-
-    def window_step(carry, _):
-        # Skip the whole window (selection + segment scan) once every ray is
-        # resolved or budget-dead — the common case after the first window.
-        pred = jnp.any(active & ~carry[3] & ~carry[4])
-        return jax.lax.cond(pred, _window_body, lambda c: c, carry), None
-
-    def _window_body(carry):
-        (t_min, trans, found, resolved, bdead, t_samp, albedo,
-         density_at_sample) = carry
-        win_active = active & ~resolved & ~bdead
-        entry, exit_t, sel, valid_sel, t_limit, has_more = (
-            _window_from_collected(entry_all, exit_all, t_min, k)
-        )
-        ids = jnp.take_along_axis(ids_all, sel, axis=-1)
-        coeffs = quadric.pair_coeffs_gathered(
-            o, d, work.centers, work.scales, work.quats, ids
-        )
-        sigma_t = jnp.where(valid_sel, sig_all[ids], 0.0)
-        s_prod = sprod_all[ids]
-        # The walk may not pass the collection budget: density beyond it is
-        # unknown. Rays pinned at the budget die (reference
-        # max_depth_primitive semantics). A surface cap (t_cap) instead
-        # *resolves* the ray when reached.
-        t_limit = jnp.minimum(t_limit, t_budget)
-        hit_cap = t_limit >= t_cap
-        t_limit = jnp.minimum(t_limit, t_cap)
-        full = has_more | jnp.isfinite(t_budget)
-
-        trans_new, found_w, ts_w, trans_samp = _free_flight_window(
-            kern, entry, exit_t, coeffs, sigma_t, s_prod, t_limit,
-            trans, xi, win_active,
-            cfg.solver_max_iterations, cfg.solver_type,
+        (w_found, w_resolved, w_bdead, w_tsamp, w_alb, w_dens, w_trans) = (
+            _jump_walk(
+                o, d, xi, entry_all, exit_all, ids_all, tau_fin,
+                t_budget, t_cap, needy,
+            )
         )
 
-        # Albedo at newly found interactions (prb:434-511, primal estimator;
-        # the reference's 3-term manual adjoint is exact AD here plus the
-        # score factor below).
-        new_found = win_active & found_w
-        q_at = (coeffs.a * ts_w[:, None] + 2.0 * coeffs.b) * ts_w[:, None] + coeffs.c
-        cover = (entry <= ts_w[:, None]) & (exit_t >= ts_w[:, None])
-        pdf_j = jnp.where(cover, kern.pdf_q(q_at, s_prod) * sigma_t, 0.0)
-        accum_pdf = jnp.sum(pdf_j, axis=-1)
-        # per-channel gathers: a gathered [R, K, 3] pads 42x on TPU
-        accum_alb = jnp.stack(
-            [jnp.sum(pdf_j * alb_all[:, ch][ids], axis=-1) for ch in range(3)],
-            axis=-1,
-        )
-        alb_w = accum_alb * _safe_rcp(accum_pdf)[:, None]
-
-        trans = jnp.where(win_active, trans_new, trans)
-        t_samp = jnp.where(new_found, ts_w, t_samp)
-        albedo = jnp.where(new_found[:, None], alb_w, albedo)
-        # Sampling density at the interaction: sum_j sigma_t_j pdf_j(t_s)
-        # times T(0 -> t_s) — both differentiable.
-        density_at_sample = jnp.where(
-            new_found, accum_pdf * trans_samp, density_at_sample
-        )
-        found = found | new_found
-        resolved = resolved | found | (
-            win_active & ~found_w & (~full | hit_cap)
-        )
-        # pinned at the budget: no further progress is possible
-        bdead = bdead | (
-            win_active & ~found_w & full & ~hit_cap & (t_limit >= t_budget)
-        )
-        t_min = jnp.where(win_active & ~resolved & ~bdead, t_limit, t_min)
-        return (
-            t_min, trans, found, resolved, bdead, t_samp, albedo,
-            density_at_sample,
-        )
-
-    init = (
-        t_min0,  # t_min (0, or the jump block's boundary)
-        trans0,  # trans (1, or exp(-F) at the jump boundary)
-        jnp.zeros((r,), bool),  # found
-        jnp.zeros((r,), bool),  # resolved (found or confirmed escape)
-        jnp.zeros((r,), bool),  # bdead (pinned at the collection budget)
-        jnp.full((r,), jnp.inf, o.dtype),  # t_samp
-        jnp.zeros((r, 3), o.dtype),  # albedo
-        jnp.ones((r,), o.dtype),  # density_at_sample (differentiable pdf)
-    )
-    (t_min, trans, found, resolved, bdead, t_samp, albedo,
-     density_at_sample), _ = (
-        jax.lax.scan(window_step, init, None, length=n_windows)
-    )
+    # merge: walk outputs for crossing rays, closed-form escape otherwise
+    found = needy & w_found
+    resolved = jnp.where(needy, w_resolved, no_cross & ~budget_kill)
+    trans = jnp.where(needy, w_trans, trans_jump)
+    t_samp = jnp.where(needy, w_tsamp, jnp.inf)
+    albedo = jnp.where(needy[:, None], w_alb, 0.0)
+    density_at_sample = jnp.where(needy, w_dens, 1.0)
 
     dead = active & ~resolved  # window/collection budget exhausted
     escaped = active & resolved & ~found
@@ -1130,11 +1279,43 @@ def radiance(
                 jnp.where(at_surface[:, None], p_surf, p_int)
                 if use_surfaces else p_int
             )
-            tr = transmittance(primitives, p_nee, ds_dir, cfg)
-            if use_surfaces:
-                tr = tr * (
-                    1.0 - mesh_mod.occluded(mesh_sh, p_nee, ds_dir)
+
+            def _tr_fn(p_c, dir_c):
+                t = transmittance(primitives, p_c, dir_c, cfg)
+                if use_surfaces:
+                    t = t * (1.0 - mesh_mod.occluded(mesh_sh, p_c, dir_c))
+                return t
+
+            # Shadow transmittance only matters at interaction vertices
+            # (~3% of a camera wavefront): compact those to the front and
+            # skip all-escape chunks (round 3, same pattern as the
+            # free-flight walk).
+            need_tr = (active_medium | at_surface) & (ds_pdf > 0.0)
+            wc_n = _chunk_for(rl, cfg.ff_chunk)
+            if wc_n:
+                order_n = jnp.argsort(~need_tr, stable=True)
+                nc_n = rl // wc_n
+
+                def tr_chunk(args):
+                    nd_c, p_c, dir_c = args
+                    return jax.lax.cond(
+                        jnp.any(nd_c), lambda _: _tr_fn(p_c, dir_c),
+                        lambda _: jnp.zeros((wc_n,), o.dtype), 0,
+                    )
+
+                tr_p = jax.lax.map(
+                    tr_chunk,
+                    (
+                        need_tr[order_n].reshape(nc_n, wc_n),
+                        p_nee[order_n].reshape(nc_n, wc_n, 3),
+                        ds_dir[order_n].reshape(nc_n, wc_n, 3),
+                    ),
                 )
+                tr = jnp.take(
+                    tr_p.reshape(rl), jnp.argsort(order_n), axis=0
+                )
+            else:
+                tr = _tr_fn(p_nee, ds_dir)
             phase_val = eval_phase_pdf(-d_c, ds_dir, cfg)
             nee_val = phase_val[:, None] * jnp.ones((rl, 3))
             nee_pdf = phase_val

@@ -34,6 +34,7 @@ Primitive-side packing (per frame, :func:`pack_fused_features`):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +46,15 @@ from .composite2 import _ray_blocks
 _FEAT = 16
 
 # Timing-ablation switches (tools/profile_rf.py kernel_abl stage): entries
-# among {'nodepth', 'noemis', 'notrans', 'nocum'} disable pieces of the
-# forward segment walk AT TRACE TIME to attribute kernel cost. Results are
-# WRONG with any flag set — never enable outside profiling.
-_ABL = frozenset()
+# among {'nodepth', 'noemis', 'notrans', 'nocum', 'nowalk'} disable pieces
+# of the forward segment walk AT TRACE TIME to attribute kernel cost.
+# 'nowalk' skips phase 2 after the compact phase (measures compaction cost
+# alone). Results are WRONG with any flag set — never enable outside
+# profiling. VOLPRIM_ABL=flag1,flag2 seeds the set from the environment so
+# bench.py sweeps can measure ablations without code edits.
+_ABL = frozenset(
+    f for f in os.environ.get("VOLPRIM_ABL", "").split(",") if f
+)
 
 # [RT, K] x [C, K] -> [RT, C]
 _DN_T = (((1,), (1,)), ((), ()))
@@ -502,6 +508,8 @@ def _fwd3_kernel(
             n_seg_t = _compact_phase(
                 pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, d3
             )
+            if "nowalk" in _ABL:  # timing: compact-phase cost alone
+                n_seg_t = jnp.minimum(n_seg_t, 0)
         if early_exit and not ({"static", "fori"} & _ABL):
 
             def cond(state, n_seg_t=n_seg_t):
