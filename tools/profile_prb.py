@@ -137,6 +137,27 @@ def main():
         flush=True,
     )
 
+    # escape/walk attribution: xi ~ 0 makes chi huge (every ray escapes in
+    # closed form, all walk chunks skip); xi ~ 1 makes chi ~ 0 (every ray
+    # crosses, every chunk walks). The delta is the walk's true share.
+    def ff_xi(s, xi_val):
+        oo = o + s.astype(jnp.float32) * 1e-12
+        xi = jnp.full((r,), xi_val)
+        found, dead, ts_, alb, s1, s2 = prb_mod.free_flight(
+            smoke, oo, d, xi, cfg, jnp.ones((r,), bool)
+        )
+        return (
+            jnp.sum(jnp.where(found, ts_, 0.0))
+            + jnp.sum(alb) + jnp.sum(s1) + jnp.sum(s2)
+        )
+
+    for name, xi_val in (("ff_allescape_65k", 1e-30),
+                         ("ff_allcross_65k", 1.0 - 1e-7)):
+        fn = jax.jit(lambda s, xv=xi_val: ff_xi(s, xv))
+        float(fn(jnp.int32(0)))
+        results[name] = timeit(fn)
+        print(f"{name:28s} {results[name]:8.1f} ms", flush=True)
+
     # ---- window-need + active-ray statistics ----------------------------
     xi = np.asarray(
         jax.random.uniform(jax.random.PRNGKey(0), (r,), minval=1e-7)

@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--coarse_factor", type=int, default=8)
     ap.add_argument("--super_group", type=int, default=4)
     ap.add_argument("--segment", type=int, default=0)
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument(
+        "--classes", default="",
+        help="budget classes 'frac:k,...' (bench.py BENCH_CLASSES syntax)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -77,14 +82,20 @@ def main():
         to_world=vp.scene.look_at([0, 0.4, -3.2], [0, 0, 0], [0, 1, 0]),
         fov=50.0,
     )
+    classes = tuple(
+        (float(p.split(":")[0]), int(p.split(":")[1]))
+        for p in args.classes.split(",") if p
+    )
     cfg = rf_tiled.RFTiledConfig(
         max_depth=128, tile_pixels=args.tile_pixels,
         max_candidates=args.max_candidates,
         segment=(args.segment or min(256, args.max_candidates)),
         cluster_size=args.cluster_size, backend="fused", early_exit=True,
-        coarse_group=args.coarse_group, refine_fraction=args.refine,
+        coarse_group=args.coarse_group,
+        refine_fraction=0.0 if classes else args.refine,
         refine_factor=4, kernel_batch=args.kernel_batch,
         coarse_factor=args.coarse_factor, super_group=args.super_group,
+        kernel_compact=args.compact, budget_classes=classes,
     )
     state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
     spp = args.spp

@@ -899,7 +899,7 @@ def free_flight(
         nc = r // wc
 
         def chunk_fn(args):
-            (oc, dc, xc, ec, xtc, ic, tfc, tbc, tcc, nyc) = args
+            (idx_c, oc, dc, xc, tbc, tcc, nyc) = args
 
             def skip(_):
                 return (
@@ -910,24 +910,29 @@ def free_flight(
                     jnp.ones((wc,), o.dtype), jnp.ones((wc,), o.dtype),
                 )
 
-            return jax.lax.cond(
-                jnp.any(nyc),
-                lambda _: _jump_walk(
+            def walk(_):
+                # The [wc, kp] interval tables are gathered HERE, inside
+                # the needy branch: permuting the full [r, kp] tables
+                # outside the map costs ~5 ns/element (r * kp * 4 tables
+                # dominated isolated free-flight timing); gathering per
+                # needy chunk pays only for chunks that actually walk.
+                ec = jnp.take(entry_all, idx_c, axis=0)
+                xtc = jnp.take(exit_all, idx_c, axis=0)
+                ic = jnp.take(ids_all, idx_c, axis=0)
+                tfc = jnp.take(tau_fin, idx_c, axis=0)
+                return _jump_walk(
                     oc, dc, xc, ec, xtc, ic, tfc, tbc, tcc, nyc
-                ),
-                skip, 0,
-            )
+                )
+
+            return jax.lax.cond(jnp.any(nyc), walk, skip, 0)
 
         perm = lambda a: jnp.take(a, order, axis=0)
         outs = jax.lax.map(
             chunk_fn,
             (
+                order.reshape(nc, wc),
                 perm(o).reshape(nc, wc, 3), perm(d).reshape(nc, wc, 3),
                 perm(xi).reshape(nc, wc),
-                perm(entry_all).reshape(nc, wc, kp),
-                perm(exit_all).reshape(nc, wc, kp),
-                perm(ids_all).reshape(nc, wc, kp),
-                perm(tau_fin).reshape(nc, wc, kp),
                 perm(t_budget).reshape(nc, wc),
                 perm(t_cap).reshape(nc, wc),
                 perm(needy).reshape(nc, wc),

@@ -744,10 +744,33 @@ def _render_tiles(
                 dnx = jnp.concatenate([c[0] for c in cols], axis=1)
                 dny = jnp.concatenate([c[1] for c in cols], axis=1)
                 dnz = jnp.concatenate([c[2] for c in cols], axis=1)
-                zrow = jnp.zeros_like(dnx)
-                d8 = jnp.stack(
-                    [dnx, dny, dnz, zrow, zrow, zrow, zrow, zrow], axis=1
-                )  # [Tb, 8, fold*RT]
+                # Rows 3-7: the subtile's bounding cone (unit axis,
+                # cos/sin half-angle), computed HERE with XLA's correctly
+                # rounded sqrt — the in-kernel compaction mask reads it
+                # instead of re-deriving it through Mosaic's approximate
+                # rsqrt (which perturbed the cone by ~its own half-width
+                # and leaked ~1 dB dropping borderline columns).
+                mx = jnp.mean(dnx, axis=1)
+                my = jnp.mean(dny, axis=1)
+                mz = jnp.mean(dnz, axis=1)
+                nrm = jnp.sqrt(mx * mx + my * my + mz * mz)
+                ax0 = mx / jnp.maximum(nrm, 1e-12)
+                ax1 = my / jnp.maximum(nrm, 1e-12)
+                ax2 = mz / jnp.maximum(nrm, 1e-12)
+                ch = jnp.min(
+                    dnx * ax0[:, None] + dny * ax1[:, None]
+                    + dnz * ax2[:, None],
+                    axis=1,
+                )
+                # slack covers f32 rounding of the in-kernel FMA-only test
+                ch = jnp.clip(ch - 1e-6, -1.0, 1.0)
+                sh_ = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+                rows = [
+                    jnp.broadcast_to(v[:, None], dnx.shape)
+                    for v in (ax0, ax1, ax2, ch, sh_)
+                ]
+                d8 = jnp.stack([dnx, dny, dnz] + rows, axis=1)
+                # [Tb, 8, fold*RT]
                 l, beta = composite3.composite_tiles3_ad(
                     d8, pf_t, sh_t, n_seg_t,
                     seg,

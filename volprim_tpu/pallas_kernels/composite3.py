@@ -255,42 +255,54 @@ def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
 
 
 
-def _subtile_cone(d3):
-    """Bounding cone of the subtile's rays: ([1, 3] axis, [1, 1] cos_half).
-    Shared origin is implicit (camera-relative features)."""
-    rt = d3.shape[0]
-    mean = jnp.sum(d3, axis=0, keepdims=True) / rt  # [1, 3]
-    nrm = jnp.sqrt(jnp.sum(mean * mean, axis=1, keepdims=True))
-    ax = mean / jnp.maximum(nrm, 1e-12)
-    cos_half = jnp.min(
-        jnp.sum(d3 * ax, axis=1, keepdims=True), axis=0, keepdims=True
-    )  # [1, 1]
-    return ax, cos_half
+def _subtile_cone(d_ref, b):
+    """Subtile bounding cone, read from the spare rows of the direction
+    block (packed XLA-side by rf_tiled's subtile_cone_rows: rows 3-5 =
+    unit axis, row 6 = cos_half, row 7 = sin_half). Computing the cone
+    in-kernel went through Mosaic's approximate rsqrt/sqrt (~2^-12
+    relative), which perturbed the cone by an angle comparable to its own
+    half-width and randomly flipped borderline columns vs the XLA cull
+    (~1 dB on the bench scene). Returns ([1,1] ax0, ax1, ax2, ch, sh)."""
+    return (
+        jnp.transpose(d_ref[b, 3:4, 0:1]),
+        jnp.transpose(d_ref[b, 4:5, 0:1]),
+        jnp.transpose(d_ref[b, 5:6, 0:1]),
+        jnp.transpose(d_ref[b, 6:7, 0:1]),
+        jnp.transpose(d_ref[b, 7:8, 0:1]),
+    )
 
 
-def _column_mask(pfT, ax, cos_half):
+def _column_mask(pfT, cone):
     """[1, C] f32 mask: does this column's bounding sphere meet the subtile
-    cone? Conservative (same angular-sum test as accel/tiles.py); columns
-    with radius < 0 (neutral/padding) never pass. Removed columns are
-    guaranteed no-hit for every ray in the subtile, so compositing after
-    compaction is exact."""
+    cone? Conservative; columns with radius < 0 (neutral/padding) never
+    pass. Removed columns are guaranteed no-hit for every ray in the
+    subtile, so compositing after compaction is exact.
+
+    The test is the point-cone distance in SQUARED form — multiplies and
+    compares only, no sqrt/divide: Mosaic's approximate transcendentals
+    (~2^-12 relative) perturb a cosine-space test by an angle ~ the
+    subtile cone's own half-width near theta = 0 (d cos = theta d theta),
+    which dropped genuinely-hit borderline columns on TPU while CPU
+    interpret agreed with XLA bit-for-bit. With FMA-only math the TPU and
+    XLA rounding coincide again. Apex region: the lateral-surface test
+    over-accepts points nearest the apex (distance underestimates), which
+    is conservative; `contains` handles spheres covering the apex."""
+    ax0, ax1, ax2, ch, sh_ = cone
     wx, wy, wz = pfT[9:10, :], pfT[10:11, :], pfT[11:12, :]
     r = pfT[14:15, :]
     vx, vy, vz = -wx, -wy, -wz  # c - o
     dist2 = vx * vx + vy * vy + vz * vz
-    dist = jnp.sqrt(dist2)
-    safe = jnp.maximum(dist, 1e-8)
-    depth = vx * ax[0:1, 0:1] + vy * ax[0:1, 1:2] + vz * ax[0:1, 2:3]
-    cos_theta = depth / safe
-    sin_rho = jnp.clip(r / safe, 0.0, 1.0)
-    cos_rho = jnp.sqrt(jnp.maximum(1.0 - sin_rho * sin_rho, 0.0))
-    ch = jnp.clip(cos_half, -1.0, 1.0)
-    sh_ = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
-    wraps = cos_rho <= -ch
-    inside = wraps | (cos_theta >= ch * cos_rho - sh_ * sin_rho)
-    in_front = depth + r > 1e-4
-    contains = dist <= r
-    m = ((inside & in_front) | contains) & (r >= 0.0)
+    a_ = vx * ax0 + vy * ax1 + vz * ax2  # depth along the cone axis
+    b2 = jnp.maximum(dist2 - a_ * a_, 0.0)  # squared distance to axis
+    ch2 = ch * ch
+    # inside the forward cone: q_perp * ch <= a_ * sh  (a_ > 0)
+    inside = (a_ > 0.0) & (b2 * ch2 <= (a_ * a_) * (sh_ * sh_))
+    # lateral surface within r: q_perp * ch - a_ * sh <= r
+    rhs = r + a_ * sh_
+    near_surf = (rhs >= 0.0) & (b2 * ch2 <= rhs * rhs)
+    in_front = a_ + r > 1e-4
+    contains = dist2 <= r * r
+    m = (((inside | near_surf) & in_front) | contains) & (r >= 0.0)
     return jnp.where(m, 1.0, 0.0)
 
 
@@ -308,7 +320,7 @@ def _neutral_block(seg):
 
 
 def _compact_phase(
-    pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, d3,
+    pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, cone,
 ):
     """Phase 1 of the compacted walk: stream the subtile's segments, drop
     columns whose bounding sphere misses the subtile cone (one-hot MXU
@@ -324,7 +336,6 @@ def _compact_phase(
     equivalent); sh (bf16) moves exactly.
     """
     f32 = jnp.float32
-    ax, cos_half = _subtile_cone(d3)
     n_sh_rows = scr_sh.shape[0]
     wide = seg + _ALIGN
 
@@ -333,7 +344,7 @@ def _compact_phase(
         base = (total // _ALIGN) * _ALIGN
         r_off = total - base
         pfT = pf_ref[b, :, sl]
-        m = _column_mask(pfT, ax, cos_half)  # [1, C]
+        m = _column_mask(pfT, cone)  # [1, C]
         pos = jnp.dot(m, ut, preferred_element_type=f32)  # incl cumsum
         live = pos[0, seg - 1].astype(jnp.int32)
         pos_t = jnp.transpose(pos).astype(jnp.int32)  # [C, 1]
@@ -506,7 +517,8 @@ def _fwd3_kernel(
             # phase 1: drop columns outside the subtile cone, walk the
             # (much shorter) compacted stream instead
             n_seg_t = _compact_phase(
-                pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, d3
+                pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg,
+                _subtile_cone(d_ref, b),
             )
             if "nowalk" in _ABL:  # timing: compact-phase cost alone
                 n_seg_t = jnp.minimum(n_seg_t, 0)
@@ -658,7 +670,8 @@ def _bwd3_subtile(
     )
     if compact:
         n_seg_t = _compact_phase(
-            pf_ref, sh_ref, ut, scr_pf, scr_sh, sb, n_orig_t, seg, d3
+            pf_ref, sh_ref, ut, scr_pf, scr_sh, sb, n_orig_t, seg,
+            _subtile_cone(d_ref, sb),
         )
         gscr_pf[...] = jnp.zeros_like(gscr_pf)
         gscr_sh[...] = jnp.zeros_like(gscr_sh)
@@ -857,7 +870,7 @@ def _bwd3_subtile(
         # phase-1 math), rebuild the offset one-hot P and move the
         # accumulated column adjoints through P^T. Dropped columns get
         # exactly zero (their rows of P^T are zero).
-        ax_c, ch_c = _subtile_cone(d3)
+        cone_c = _subtile_cone(d_ref, sb)
         wide = seg + _ALIGN
 
         def scatter_body(si, total):
@@ -865,7 +878,7 @@ def _bwd3_subtile(
             base = (total // _ALIGN) * _ALIGN
             r_off = total - base
             pfT0 = pf_ref[sb, :, sl]
-            m = _column_mask(pfT0, ax_c, ch_c)
+            m = _column_mask(pfT0, cone_c)
             pos = jnp.dot(m, ut, preferred_element_type=f32)
             live = pos[0, seg - 1].astype(jnp.int32)
             pos_t = jnp.transpose(pos).astype(jnp.int32)
