@@ -629,10 +629,21 @@ def main():
             " (tail-cap bias check)",
             file=sys.stderr,
         )
+        # timing fetches a SCALAR (summing the image outside jit pulls the
+        # full 256^2x3 frame through the tunnel every rep — ~150 ms of
+        # transfer that is not device time)
+        pjs = jax.jit(
+            lambda p, s: jnp.sum(
+                vmodels.render(
+                    p, pcam, prb_mod.radiance, pcfg, sky, spp=1, seed=s
+                )
+            )
+        )
+        float(pjs(smoke, jnp.int32(0)))
         pts = []
         for i in range(3):
             t0 = time.perf_counter()
-            float(jnp.sum(pj(smoke, jnp.int32(i + 1))))
+            float(pjs(smoke, jnp.int32(i + 1)))
             pts.append(time.perf_counter() - t0)
         prb_s = float(np.min(pts))
         prb_mrays = 256 * 256 / prb_s / 1e6

@@ -57,6 +57,12 @@ from .base import pad_primitives
 
 _BIG_T = 1e7  # effective infinity for shadow-ray segment integrals
 
+# Stage-attribution debug stop for free_flight (None | "collect" | "ftotal"
+# | "escape" | "sort"): truncates the jump path after the named stage with
+# DCE-proof outputs. Read at TRACE time — profilers must re-jit (and
+# jax.clear_caches()) after changing it.
+_FF_STOP = None
+
 
 @dataclasses.dataclass(frozen=True)
 class PRBConfig:
@@ -814,6 +820,20 @@ def free_flight(
             jnp.maximum(tau_full_w - tau_part_w, 0.0), axis=-1
         )
 
+    def _ff_stop_out(*vals):
+        """Debug-stop return: same structure as free_flight, values wired
+        to the computed arrays so XLA cannot DCE the stage under test."""
+        chk = sum(jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0)) for v in vals)
+        z = jnp.zeros((r,), bool)
+        return (
+            z, z, jnp.full((r,), jnp.inf, o.dtype) + chk,
+            jnp.zeros((r, 3), o.dtype), jnp.ones((r,), o.dtype) + chk,
+            jnp.ones((r,), o.dtype),
+        )
+
+    if _FF_STOP == "collect":
+        return _ff_stop_out(entry_all, exit_all, t_budget)
+
     use_jump = cfg.jump and (full_tau is not None)
     if not use_jump:
         # sequential walk from t = 0 over the full wavefront
@@ -844,6 +864,9 @@ def free_flight(
     f_total = jnp.sum(tau_fin, axis=-1)  # exact F(inf): all taus complete
     fin_eff = jnp.isfinite(t_eff)
 
+    if _FF_STOP == "ftotal":
+        return _ff_stop_out(f_total, chi, t_eff)
+
     def _corrected(_):
         t_pt = jnp.where(fin_eff, t_eff, 0.0)
         return _f_exact_at(o, d, entry_all, exit_all, ids_all, tau_fin, t_pt)
@@ -863,6 +886,9 @@ def free_flight(
     trans_jump = jnp.exp(-jnp.maximum(f_eff, 0.0))
 
     needy = active & will_cross
+
+    if _FF_STOP == "escape":
+        return _ff_stop_out(f_eff, trans_jump, needy.astype(o.dtype))
 
     def _jump_walk(o_c, d_c, xi_c, e_c, x_c, i_c, tf_c, tb_c, tc_c, ny_c):
         """Block-jump + windows for one (compacted) ray chunk."""
@@ -897,6 +923,9 @@ def free_flight(
         # the segment scan entirely (lax.cond).
         order = jnp.argsort(~needy, stable=True)
         nc = r // wc
+
+        if _FF_STOP == "sort":
+            return _ff_stop_out(order.astype(o.dtype), trans_jump)
 
         def chunk_fn(args):
             (idx_c, oc, dc, xc, tbc, tcc, nyc) = args

@@ -303,6 +303,8 @@ def _column_mask(pfT, cone):
     in_front = a_ + r > 1e-4
     contains = dist2 <= r * r
     m = (((inside | near_surf) & in_front) | contains) & (r >= 0.0)
+    if "maskall" in _ABL:  # A/B: keep the pack machinery, drop no columns
+        m = r >= 0.0
     return jnp.where(m, 1.0, 0.0)
 
 
