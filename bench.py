@@ -386,12 +386,18 @@ def main():
     cf0 = int(os.environ.get("BENCH_CF", "8"))
     sg0 = int(os.environ.get("BENCH_SG", "4"))
     # adaptive per-tile budget classes: "frac:k_clusters,frac:k,..."
-    cls_env = os.environ.get("BENCH_CLASSES", "")
+    # Defaults (round 3): in-kernel column compaction + need-matched
+    # budget classes — the measured quality/speed winner (16.5 Mrays/s at
+    # 30.2 dB-vs-exact pre-thinning; see BENCH_DETAILS.json). "none"
+    # disables classes; BENCH_COMPACT=0 disables compaction.
+    cls_env = os.environ.get("BENCH_CLASSES", "0.6:192,0.3:320,0.1:512")
+    if cls_env == "none":
+        cls_env = ""
     classes0 = tuple(
         (float(p.split(":")[0]), int(p.split(":")[1]))
         for p in cls_env.split(",") if p
     )
-    compact0 = os.environ.get("BENCH_COMPACT", "0") == "1"
+    compact0 = os.environ.get("BENCH_COMPACT", "1") == "1"
 
     def build(mc, refine=rf0, classes=classes0):
         cfg = rf_tiled.RFTiledConfig(

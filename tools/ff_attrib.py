@@ -72,7 +72,10 @@ def main():
         return ff
 
     results = {}
-    for stop in ("collect", "ftotal", "escape", "sort", None, "full_xi_rand"):
+    stops = (
+        "ftotal", "esc_fent", "esc_sel", "esc_gather", "escape", None,
+    )
+    for stop in stops:
         if stop == "full_xi_rand":
             prb_mod._FF_STOP = None
             jax.clear_caches()

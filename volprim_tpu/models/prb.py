@@ -867,25 +867,51 @@ def free_flight(
     if _FF_STOP == "ftotal":
         return _ff_stop_out(f_total, chi, t_eff)
 
-    def _corrected(_):
+    if _FF_STOP in ("esc_fent", "esc_sel", "esc_gather"):
+        # Unconditional sub-stage replica of _corrected for attribution
+        # (the real path runs it under lax.cond(any(fin_eff))).
         t_pt = jnp.where(fin_eff, t_eff, 0.0)
-        return _f_exact_at(o, d, entry_all, exit_all, ids_all, tau_fin, t_pt)
+        fin_w = jnp.isfinite(entry_all)
+        entered = fin_w & (entry_all < t_pt[:, None])
+        f_entered = jnp.sum(jnp.where(entered, tau_fin, 0.0), axis=-1)
+        if _FF_STOP == "esc_fent":
+            return _ff_stop_out(f_entered, f_total, chi)
+        _, _, sel_d, valid_d, _, _ = _window_from_collected(
+            entry_all, exit_all, t_pt, k
+        )
+        if _FF_STOP == "esc_sel":
+            return _ff_stop_out(f_entered, sel_d.astype(o.dtype), valid_d)
+        ids_d = jnp.take_along_axis(ids_all, sel_d, axis=-1)
+        cf = quadric.pair_coeffs_gathered(
+            o, d, work.centers, work.scales, work.quats, ids_d
+        )
+        return _ff_stop_out(f_entered, cf.a, cf.b, cf.c, sig_all[ids_d])
 
-    # the tail correction costs a selection + K gathers; skip it entirely
-    # when no ray is surface- or budget-capped (common for pure media)
-    f_corr = jax.lax.cond(
-        jnp.any(fin_eff), _corrected, lambda _: f_total, 0
-    )
-    f_eff = jnp.where(fin_eff, f_corr, f_total)
-    will_cross = jax.lax.stop_gradient(f_eff) > chi
-    no_cross = active & ~will_cross
+    # Round-3 rewrite: the exact tail-corrected F(t_eff) (selection + K
+    # per-ray gathers over every ray) measured 179 + 242 ms of the 600 ms
+    # free flight at 65k rays — and it is never actually needed:
+    #   * the will_cross DECISION only needs an UPPER bound: f_ub =
+    #     full taus of every interval entered before t_eff (a masked sum,
+    #     measured free). Borderline rays (chi between exact F and f_ub)
+    #     are sent to the walk, which resolves caps exactly — a budget-
+    #     capped walk dies exactly like the closed-form budget kill, and
+    #     a surface-capped walk returns the exact transmittance at t_cap.
+    #   * escapes at infinite t_eff use exact F(inf) = f_total.
+    #   * surface-capped rays (the only no-cross rays whose transmittance
+    #     weight matters) are routed to the walk unconditionally.
+    entered = fin & (entry_all < t_eff[:, None])
+    f_entered = jnp.sum(jnp.where(entered, tau_fin, 0.0), axis=-1)
+    f_ub = jnp.where(fin_eff, f_entered, f_total)
+    surface_capped = jnp.isfinite(t_cap) & (t_cap <= t_budget)
+    will_cross = jax.lax.stop_gradient(f_ub) > chi
+    no_cross = active & ~will_cross & ~surface_capped
     # no crossing before the budget bound -> the reference's
-    # max_depth_primitive kill (prb:456-459); before a surface cap or at
-    # infinity -> exact escape with T = exp(-F(t_eff))
+    # max_depth_primitive kill (prb:456-459); at infinity -> exact escape
+    # with T = exp(-F(inf))
     budget_kill = no_cross & jnp.isfinite(t_budget) & (t_budget < t_cap)
-    trans_jump = jnp.exp(-jnp.maximum(f_eff, 0.0))
+    trans_jump = jnp.exp(-jnp.maximum(f_total, 0.0))
 
-    needy = active & will_cross
+    needy = active & (will_cross | surface_capped)
 
     if _FF_STOP == "escape":
         return _ff_stop_out(f_eff, trans_jump, needy.astype(o.dtype))

@@ -197,7 +197,15 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
     if cfg.use_clusters:
         cs = cfg.cluster_size
         ncl = n // cs
-        shr = sh_coeffs.transpose(0, 2, 1).reshape(n, 3 * k)  # ch-major
+        # Fused-kernel table: composite3's basis column 0 is exactly 1.0,
+        # so the DC row stores Y00 * dc + 0.5 — the rf emission offset
+        # (+0.5 per channel, rf.py parity) folds into the GEMM at no
+        # bf16 precision cost and the kernel saves one add per
+        # (ray, primitive, channel). composite3 applies NO offset itself.
+        sh_fold = sh_coeffs.at[:, 0, :].set(
+            sh_coeffs[:, 0, :] * 0.28209479177387814 + 0.5
+        )
+        shr = sh_fold.transpose(0, 2, 1).reshape(n, 3 * k)  # ch-major
         shrows = (
             shr.reshape(ncl, cs, 3 * k)
             .transpose(0, 2, 1)

@@ -89,6 +89,13 @@ def pack_fused_features(prims, origin: jnp.ndarray) -> jnp.ndarray:
     layout and turns this cheap pack into tens of milliseconds. The
     transposed output is also the natural layout for the per-component
     cluster gathers and the kernel's [16, S] blocks.
+
+    HALVED convention (round 3): rows 0-8 and 13 carry M/2 (via halved
+    inverse-square scales), so the quadratic form the kernel evaluates is
+    q/2 directly and the Gaussian response is ``exp(-q_half)`` — one fewer
+    multiply per (ray, primitive) in the hot walk. The kernel compares
+    against ``extent^2 / 2`` accordingly; rows 9-11 (w) and 14 (radius)
+    stay unscaled.
     """
     q = prims.quats
     qx, qy, qz, qw = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
@@ -102,9 +109,11 @@ def pack_fused_features(prims, origin: jnp.ndarray) -> jnp.ndarray:
     r20 = 2.0 * (qx * qz - qy * qw)
     r21 = 2.0 * (qy * qz + qx * qw)
     r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
-    s0 = 1.0 / jnp.square(prims.scales[:, 0])
-    s1 = 1.0 / jnp.square(prims.scales[:, 1])
-    s2 = 1.0 / jnp.square(prims.scales[:, 2])
+    # halved inverse-square scales -> every M-derived row is M/2 (see
+    # docstring); q_half = q/2 falls out of the unchanged kernel algebra
+    s0 = 0.5 / jnp.square(prims.scales[:, 0])
+    s1 = 0.5 / jnp.square(prims.scales[:, 1])
+    s2 = 0.5 / jnp.square(prims.scales[:, 2])
     # M = R diag(s^-2) R^T, entrywise
     m00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
     m11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
@@ -161,9 +170,13 @@ def _ray_blocks_t(d_ref, degree, b=0):
         [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz], axis=1
     )
     d3 = jnp.concatenate([dx, dy, dz], axis=1)
-    from .composite2 import _C0, _C1, _C2, _C3
+    from .composite2 import _C1, _C2, _C3
 
-    cols = [jnp.full_like(dx, _C0)]
+    # Column 0 is exactly 1.0 (not Y00): the table builders store
+    # Y00 * dc + 0.5 in the DC row, folding the rf emission offset into
+    # the GEMM with no bf16 precision loss (1.0 and 0.5 are bf16-exact)
+    # and no per-pair add. See rf_tiled.build_state.
+    cols = [jnp.full_like(dx, 1.0)]
     if degree >= 1:
         cols += [-_C1 * dy, _C1 * dz, -_C1 * dx]
     if degree >= 2:
@@ -207,10 +220,12 @@ def _dot3_n(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
+def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2h, stable_q):
     """Shared forward pair math (recomputed by the backward sweep).
 
-    pfT [16, C] — the native transposed block. Returns (a, b, t_peak,
+    pfT [16, C] — the native transposed block in the HALVED convention
+    (rows carry M/2; see pack_fused_features), so a, b, q are all q/2-
+    scaled and ``extent2h`` must be extent^2 / 2. Returns (a, b, t_peak,
     p (3-tuple or None), q_raw, q_min, hit, opac, pfT).
 
     a = F6(d) . m6 and b = d . u contract over only 6 / 3 terms — on the
@@ -234,9 +249,12 @@ def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
         px = wx + t_peak * dx
         py = wy + t_peak * dy
         pz = wz + t_peak * dz
+        # Horner form: 9 VPU ops vs 17 for the six-term expansion (the
+        # walk is VPU-bound, every op is ~0.5 ms of the bench frame)
         q_raw = (
-            m11 * px * px + m22 * py * py + m33 * pz * pz
-            + m12_2 * px * py + m13_2 * px * pz + m23_2 * py * pz
+            px * (m11 * px + m12_2 * py + m13_2 * pz)
+            + py * (m22 * py + m23_2 * pz)
+            + (pz * pz) * m33
         )
         p = (px, py, pz)
     else:
@@ -247,9 +265,9 @@ def _fwd3_core(pfT, f6, d3, dx, dy, dz, extent2, stable_q):
     #   t_near = t_peak - sqrt((e2 - q_min)/a) > 0
     #   <=> t_peak > 0  and  a t_peak^2 > e2 - q_min,   a t_peak^2 = -b t_peak
     hit = (
-        (q_min <= extent2)
+        (q_min <= extent2h)
         & (t_peak > 0.0)
-        & (q_min - b * t_peak > extent2)
+        & (q_min - b * t_peak > extent2h)
     )
     return a, b, t_peak, p, q_raw, q_min, hit, opac, pfT
 
@@ -407,6 +425,7 @@ def _fwd3_kernel(
     rt = d_ref.shape[2]
     f32 = jnp.float32
     log_kill = jnp.log(jnp.float32(beta_kill))
+    e2h = extent2 * 0.5  # halved-M convention (pack_fused_features)
     ut = ut_ref[:]
 
     # Static loop over the program's subtile batch: each subtile has its own
@@ -436,12 +455,12 @@ def _fwd3_kernel(
                 pfT = pf_ref[b, :, sl]  # [16, C] — native transposed layout
             # shared pair math: the backward sweep recomputes exactly this
             _, _, _, _, _, q_min, hit, opac, _ = _fwd3_core(
-                pfT, f6, d3, dx, dy, dz, extent2, stable_q
+                pfT, f6, d3, dx, dy, dz, e2h, stable_q
             )
             if "notrans" in _ABL:
-                alpha = jnp.minimum(opac * (1.0 - 0.5 * q_min), 0.9999)
+                alpha = jnp.minimum(opac * (1.0 - q_min), 0.9999)
             else:
-                alpha = jnp.minimum(opac * jnp.exp(-0.5 * q_min), 0.9999)
+                alpha = jnp.minimum(opac * jnp.exp(-q_min), 0.9999)
             alpha = jnp.where(hit, alpha, 0.0)
 
             if "nodepth" in _ABL:
@@ -495,8 +514,25 @@ def _fwd3_kernel(
                     e_ch = jax.lax.dot_general(
                         basis_h, sh_ch, _DN_T, preferred_element_type=f32
                     )
-                e_ch = jnp.maximum(e_ch + 0.5, 0.0)
-                acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
+                # +0.5 emission offset is folded into the DC coefficient
+                # by the table builders (rf_tiled.build_state adds
+                # sqrt(pi) = 0.5 / Y00 to each channel's DC row)
+                e_ch = jnp.maximum(e_ch, 0.0)
+                if "sumdot_off" in _ABL:
+                    acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
+                else:
+                    # lane reduction on the MXU (ut's last column is all-
+                    # ones), hi/lo split for ~f32 accuracy; frees the
+                    # VPU's log2(C) shuffle tree
+                    we = w_ * e_ch
+                    we_hi = we.astype(jnp.bfloat16).astype(f32)
+                    ones_c = ut[:, seg - 1:seg]
+                    acc.append(
+                        jnp.dot(we_hi, ones_c, preferred_element_type=f32)
+                        + jnp.dot(
+                            we - we_hi, ones_c, preferred_element_type=f32
+                        )
+                    )
 
             return (
                 log_beta + cs_incl[:, seg - 1:seg],
@@ -659,6 +695,7 @@ def _bwd3_subtile(
     f32 = jnp.float32
     hp = jax.lax.Precision.HIGHEST
     log_kill = jnp.log(jnp.float32(beta_kill))
+    e2h = extent2 * 0.5  # halved-M convention (pack_fused_features)
     ut = ut_ref[:]
     f6, d3, basis = _ray_blocks_t(d_ref, degree, sb)
     dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
@@ -687,9 +724,9 @@ def _bwd3_subtile(
         else:
             pfT = pf_ref[sb, :, sl]  # [16, C]
         a, b, t_peak, p, q_raw, q_min, hit, opac, pfT = _fwd3_core(
-            pfT, f6, d3, dx, dy, dz, extent2, stable_q
+            pfT, f6, d3, dx, dy, dz, e2h, stable_q
         )
-        dens = jnp.exp(-0.5 * q_min)
+        dens = jnp.exp(-q_min)
         raw = opac * dens
         alpha0 = jnp.where(hit, jnp.minimum(raw, 0.9999), 0.0)
         return sl, a, b, t_peak, p, q_raw, hit, opac, dens, raw, alpha0, pfT
@@ -750,12 +787,12 @@ def _bwd3_subtile(
                 e_raw = jax.lax.dot_general(
                     basis_h[:, :sh_k], sh_ch.astype(basis_h.dtype), _DN_N,
                     preferred_element_type=f32,
-                ) + 0.5
+                )
             else:
                 sh_ch = sh_ref[sb, sl, pl.ds(ch * 16, 16)]
                 e_raw = jax.lax.dot_general(
                     basis_h, sh_ch, _DN_T, preferred_element_type=f32
-                ) + 0.5
+                )
             e_ch = jnp.maximum(e_raw, 0.0)
             g_w = g_w + g_l[:, ch:ch + 1] * e_ch
             g_e = jnp.where(e_raw > 0.0, g_l[:, ch:ch + 1] * w_, 0.0)
@@ -799,7 +836,7 @@ def _bwd3_subtile(
         g_alpha = jnp.where(depth_ok & hit, g_alpha, 0.0)
         g_raw = jnp.where(raw < 0.9999, g_alpha, 0.0)
         g_opac_row = jnp.sum(g_raw * dens, axis=0, keepdims=True)  # [1, C]
-        g_q = g_raw * opac * dens * (-0.5)
+        g_q = -(g_raw * opac * dens)  # d alpha / d q_half = -alpha
         g_q = jnp.where(q_raw > 0.0, g_q, 0.0)
 
         if stable_q:
