@@ -236,7 +236,19 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
         np.savez(gpath, sel=sel, exact=exact_sub.astype(np.float16))
     g = np.load(gpath)
     assert (g["sel"] == sel).all()
-    mse = float(np.mean((img1[sel] - g["exact"].astype(np.float32)) ** 2))
+    sub = img1[sel]
+    fin_frac = float(np.isfinite(sub).mean())
+    if fin_frac < 1.0:
+        # diagnose rather than poison the metric: report the nan fraction
+        # and compute PSNR over the finite pixels
+        print(
+            f"2M tiled render non-finite fraction: {1 - fin_frac:.4f}",
+            file=sys.stderr,
+        )
+    m = np.isfinite(sub).all(axis=-1)
+    mse = float(
+        np.mean((sub[m] - g["exact"].astype(np.float32)[m]) ** 2)
+    )
     psnr = -10 * np.log10(max(mse, 1e-12))
     print(
         f"2M-splat scene: {mrays:.2f} Mrays/s, frame {exec_s * 1e3:.1f} ms,"

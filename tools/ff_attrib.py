@@ -72,9 +72,7 @@ def main():
         return ff
 
     results = {}
-    stops = (
-        "ftotal", "esc_fent", "esc_sel", "esc_gather", "escape", None,
-    )
+    stops = ("collect", "escape", "sort", None, "full_xi_rand")
     for stop in stops:
         if stop == "full_xi_rand":
             prb_mod._FF_STOP = None

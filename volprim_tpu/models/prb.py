@@ -57,10 +57,11 @@ from .base import pad_primitives
 
 _BIG_T = 1e7  # effective infinity for shadow-ray segment integrals
 
-# Stage-attribution debug stop for free_flight (None | "collect" | "ftotal"
-# | "escape" | "sort"): truncates the jump path after the named stage with
-# DCE-proof outputs. Read at TRACE time — profilers must re-jit (and
-# jax.clear_caches()) after changing it.
+# Stage-attribution debug stop for free_flight (None | "collect" |
+# "escape" | "sort"): truncates the path after the named stage with
+# DCE-proof outputs ("collect" = the jump path's streaming decision pass,
+# or the non-jump path's interval collection). Read at TRACE time —
+# profilers must re-jit (and jax.clear_caches()) after changing it.
 _FF_STOP = None
 
 
@@ -666,6 +667,11 @@ def free_flight(
     (common.py:461-466, volprim_prb.py:134-137).
     """
     primitives.require_attrs(["sigma_t", "albedo"])
+    # Two paths (round 3): the default jump path (Gaussian fast kernel +
+    # brute scan) decides escape from a streaming complete-density sweep
+    # and collects intervals only inside needy-ray chunks; every other
+    # configuration (clusters, Epanechnikov, jump=False) pre-collects
+    # once and runs the sequential window walk.
     kern = cfg.kernel
     k = cfg.max_overlaps
     r = o.shape[0]
@@ -679,11 +685,21 @@ def free_flight(
     sprod_all = work.scales[:, 0] * work.scales[:, 1] * work.scales[:, 2]
     t_cap = jnp.full((r,), jnp.inf, o.dtype) if t_max is None else t_max
 
-    # All interval collection happens ONCE per bounce; windows select from
-    # the precollected set below (round-2 redesign; see _collect_intervals).
-    entry_all, exit_all, ids_all, t_budget, full_tau = _collect_intervals(
-        primitives, index, o, d, cfg
+    # Path selection (round 3): the jump path (brute collection + Gaussian
+    # fast kernel) no longer pre-collects intervals at all — escape is
+    # decided from a streaming complete-density sweep and collection
+    # happens per needy-ray chunk below. Every other configuration
+    # collects ONCE per bounce and windows select from the precollected
+    # set (round-2 design; see _collect_intervals).
+    kern_fast = (
+        kern.type == "gaussian" and not kern.normalized
+        and not kern.full_range
     )
+    use_jump = cfg.jump and not cfg.use_clusters and kern_fast
+    if not use_jump:
+        entry_all, exit_all, ids_all, t_budget, full_tau = (
+            _collect_intervals(primitives, index, o, d, cfg)
+        )
 
     # ---- generic window walk over an (optionally chunked) wavefront ------
     def _run_windows(
@@ -831,11 +847,9 @@ def free_flight(
             jnp.ones((r,), o.dtype),
         )
 
-    if _FF_STOP == "collect":
-        return _ff_stop_out(entry_all, exit_all, t_budget)
-
-    use_jump = cfg.jump and (full_tau is not None)
     if not use_jump:
+        if _FF_STOP == "collect":
+            return _ff_stop_out(entry_all, exit_all, t_budget)
         # sequential walk from t = 0 over the full wavefront
         found, resolved, bdead, t_samp, albedo, density_at_sample, trans = (
             _run_windows(
@@ -850,71 +864,32 @@ def free_flight(
         score_escape = _score_ratio(trans, escaped)
         return found, dead, t_samp, albedo, score_found, score_escape
 
-    # ---- jump path: resolve escapes in closed form, then walk only the
-    # rays whose transmittance actually crosses the sample (round 3: 97%
-    # of bench rays escape — they pay two sums instead of four windows) --
-    kp = entry_all.shape[1]
-    fin = jnp.isfinite(entry_all)
-    tau_fin = jnp.where(fin, full_tau, 0.0)
+    # ---- jump path (round-3 streaming redesign) -------------------------
+    # The escape/crossing DECISION needs only the complete optical depth
+    # F(inf) = sum of every primitive's whole-interval tau — an order-free
+    # VPU-bound chunked stream (optical_depth: no top-k, no gathers;
+    # measured 31 ms where budgeted collection + its tail correction cost
+    # 600+ ms at 65k rays). Rays with chi >= F(inf) escape in closed form
+    # with the EXACT transmittance exp(-F(inf)) (the reference marches all
+    # overlaps to the same product, prb:303-432). Only crossing or
+    # surface-capped rays (3-6% of a bench camera wavefront) are compacted
+    # into fixed chunks, and interval collection itself runs per chunk —
+    # all-escape chunks never materialize an interval table at all.
+    # Collection-budget truncation surfaces as the walk's budget death,
+    # matching the reference's max_depth_primitive kill (prb:456-459).
+    kp = cfg.interval_budget
     chi = -jnp.log(jnp.maximum(jax.lax.stop_gradient(xi), 1e-30))
-
-    # Exact survived optical depth at t_eff = min(t_cap, t_budget): the
-    # walk can never pass t_eff, so  chi > F(t_eff)  <=>  no crossing.
-    t_eff = jnp.minimum(t_cap, t_budget)
-    f_total = jnp.sum(tau_fin, axis=-1)  # exact F(inf): all taus complete
-    fin_eff = jnp.isfinite(t_eff)
-
-    if _FF_STOP == "ftotal":
-        return _ff_stop_out(f_total, chi, t_eff)
-
-    if _FF_STOP in ("esc_fent", "esc_sel", "esc_gather"):
-        # Unconditional sub-stage replica of _corrected for attribution
-        # (the real path runs it under lax.cond(any(fin_eff))).
-        t_pt = jnp.where(fin_eff, t_eff, 0.0)
-        fin_w = jnp.isfinite(entry_all)
-        entered = fin_w & (entry_all < t_pt[:, None])
-        f_entered = jnp.sum(jnp.where(entered, tau_fin, 0.0), axis=-1)
-        if _FF_STOP == "esc_fent":
-            return _ff_stop_out(f_entered, f_total, chi)
-        _, _, sel_d, valid_d, _, _ = _window_from_collected(
-            entry_all, exit_all, t_pt, k
-        )
-        if _FF_STOP == "esc_sel":
-            return _ff_stop_out(f_entered, sel_d.astype(o.dtype), valid_d)
-        ids_d = jnp.take_along_axis(ids_all, sel_d, axis=-1)
-        cf = quadric.pair_coeffs_gathered(
-            o, d, work.centers, work.scales, work.quats, ids_d
-        )
-        return _ff_stop_out(f_entered, cf.a, cf.b, cf.c, sig_all[ids_d])
-
-    # Round-3 rewrite: the exact tail-corrected F(t_eff) (selection + K
-    # per-ray gathers over every ray) measured 179 + 242 ms of the 600 ms
-    # free flight at 65k rays — and it is never actually needed:
-    #   * the will_cross DECISION only needs an UPPER bound: f_ub =
-    #     full taus of every interval entered before t_eff (a masked sum,
-    #     measured free). Borderline rays (chi between exact F and f_ub)
-    #     are sent to the walk, which resolves caps exactly — a budget-
-    #     capped walk dies exactly like the closed-form budget kill, and
-    #     a surface-capped walk returns the exact transmittance at t_cap.
-    #   * escapes at infinite t_eff use exact F(inf) = f_total.
-    #   * surface-capped rays (the only no-cross rays whose transmittance
-    #     weight matters) are routed to the walk unconditionally.
-    entered = fin & (entry_all < t_eff[:, None])
-    f_entered = jnp.sum(jnp.where(entered, tau_fin, 0.0), axis=-1)
-    f_ub = jnp.where(fin_eff, f_entered, f_total)
-    surface_capped = jnp.isfinite(t_cap) & (t_cap <= t_budget)
-    will_cross = jax.lax.stop_gradient(f_ub) > chi
+    f_total = optical_depth(primitives, o, d, cfg)
+    if _FF_STOP == "collect":  # decision-pass cost (jump path)
+        return _ff_stop_out(f_total, chi)
+    surface_capped = jnp.isfinite(t_cap)
+    will_cross = jax.lax.stop_gradient(f_total) > chi
     no_cross = active & ~will_cross & ~surface_capped
-    # no crossing before the budget bound -> the reference's
-    # max_depth_primitive kill (prb:456-459); at infinity -> exact escape
-    # with T = exp(-F(inf))
-    budget_kill = no_cross & jnp.isfinite(t_budget) & (t_budget < t_cap)
     trans_jump = jnp.exp(-jnp.maximum(f_total, 0.0))
-
     needy = active & (will_cross | surface_capped)
 
     if _FF_STOP == "escape":
-        return _ff_stop_out(f_eff, trans_jump, needy.astype(o.dtype))
+        return _ff_stop_out(f_total, trans_jump, needy.astype(o.dtype))
 
     def _jump_walk(o_c, d_c, xi_c, e_c, x_c, i_c, tf_c, tb_c, tc_c, ny_c):
         """Block-jump + windows for one (compacted) ray chunk."""
@@ -954,7 +929,7 @@ def free_flight(
             return _ff_stop_out(order.astype(o.dtype), trans_jump)
 
         def chunk_fn(args):
-            (idx_c, oc, dc, xc, tbc, tcc, nyc) = args
+            (oc, dc, xc, tcc, nyc) = args
 
             def skip(_):
                 return (
@@ -966,17 +941,18 @@ def free_flight(
                 )
 
             def walk(_):
-                # The [wc, kp] interval tables are gathered HERE, inside
-                # the needy branch: permuting the full [r, kp] tables
-                # outside the map costs ~5 ns/element (r * kp * 4 tables
-                # dominated isolated free-flight timing); gathering per
-                # needy chunk pays only for chunks that actually walk.
-                ec = jnp.take(entry_all, idx_c, axis=0)
-                xtc = jnp.take(exit_all, idx_c, axis=0)
-                ic = jnp.take(ids_all, idx_c, axis=0)
-                tfc = jnp.take(tau_fin, idx_c, axis=0)
+                # Interval COLLECTION runs here, per needy chunk: chunks
+                # whose rays all escape never pay the top-k merge or
+                # materialize an interval table (the collection itself
+                # was 244 of free flight's 600 ms at 65k rays).
+                e_c, x_c, i_c, cnt_c, ft_c = _gather_intervals(
+                    primitives, oc, dc, jnp.zeros((wc,), o.dtype),
+                    kp, cfg.chunk_size, kern=kern,
+                )
+                tb_c = jnp.where(cnt_c >= kp, e_c[:, -1], jnp.inf)
+                tf_c = jnp.where(jnp.isfinite(e_c), ft_c, 0.0)
                 return _jump_walk(
-                    oc, dc, xc, ec, xtc, ic, tfc, tbc, tcc, nyc
+                    oc, dc, xc, e_c, x_c, i_c, tf_c, tb_c, tcc, nyc
                 )
 
             return jax.lax.cond(jnp.any(nyc), walk, skip, 0)
@@ -985,10 +961,8 @@ def free_flight(
         outs = jax.lax.map(
             chunk_fn,
             (
-                order.reshape(nc, wc),
                 perm(o).reshape(nc, wc, 3), perm(d).reshape(nc, wc, 3),
                 perm(xi).reshape(nc, wc),
-                perm(t_budget).reshape(nc, wc),
                 perm(t_cap).reshape(nc, wc),
                 perm(needy).reshape(nc, wc),
             ),
@@ -999,16 +973,21 @@ def free_flight(
             for x in outs
         )
     else:
+        e_f, x_f, i_f, cnt_f, ft_f = _gather_intervals(
+            primitives, o, d, jnp.zeros((r,), o.dtype),
+            kp, cfg.chunk_size, kern=kern,
+        )
+        tb_f = jnp.where(cnt_f >= kp, e_f[:, -1], jnp.inf)
+        tf_f = jnp.where(jnp.isfinite(e_f), ft_f, 0.0)
         (w_found, w_resolved, w_bdead, w_tsamp, w_alb, w_dens, w_trans) = (
             _jump_walk(
-                o, d, xi, entry_all, exit_all, ids_all, tau_fin,
-                t_budget, t_cap, needy,
+                o, d, xi, e_f, x_f, i_f, tf_f, tb_f, t_cap, needy,
             )
         )
 
     # merge: walk outputs for crossing rays, closed-form escape otherwise
     found = needy & w_found
-    resolved = jnp.where(needy, w_resolved, no_cross & ~budget_kill)
+    resolved = jnp.where(needy, w_resolved, no_cross)
     trans = jnp.where(needy, w_trans, trans_jump)
     t_samp = jnp.where(needy, w_tsamp, jnp.inf)
     albedo = jnp.where(needy[:, None], w_alb, 0.0)
@@ -1021,16 +1000,20 @@ def free_flight(
     return found, dead, t_samp, albedo, score_found, score_escape
 
 
-def transmittance(
+def optical_depth(
     primitives: EllipsoidScene,
     o: jnp.ndarray,
     d: jnp.ndarray,
     cfg: PRBConfig,
     t_max: float = _BIG_T,
 ) -> jnp.ndarray:
-    """Transmittance along [0, t_max] — order-independent chunked reduction
-    (reference eval_transmittance, prb:303-432, whose march multiplies
-    exp(-sigma_t * integral) per primitive; here exp of the masked sum)."""
+    """Total optical depth F along [0, t_max] — order-independent chunked
+    reduction over every primitive (reference eval_transmittance,
+    prb:303-432, whose march multiplies exp(-sigma_t * integral) per
+    primitive; here the masked sum). Differentiable; VPU-bound streaming
+    (no top-k, no gathers) — the free-flight escape decision runs on this
+    (measured 31 ms at 65k rays x 262k-prim-class scenes vs 244 ms for
+    budgeted interval collection)."""
     kern = cfg.kernel
     prims = pad_primitives(primitives, cfg.chunk_size)
     n = prims.num_prims
@@ -1064,7 +1047,18 @@ def transmittance(
         jnp.zeros((o.shape[0],), o.dtype),
         (centers, scales, quats, sigma_t, real),
     )
-    return jnp.exp(-tau)
+    return tau
+
+
+def transmittance(
+    primitives: EllipsoidScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    cfg: PRBConfig,
+    t_max: float = _BIG_T,
+) -> jnp.ndarray:
+    """Transmittance along [0, t_max]: exp(-optical_depth)."""
+    return jnp.exp(-optical_depth(primitives, o, d, cfg, t_max))
 
 
 def _sample_phase(key, d_in, cfg: PRBConfig):

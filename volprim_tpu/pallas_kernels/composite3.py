@@ -403,7 +403,10 @@ def _compact_phase(
 
     total = jax.lax.fori_loop(0, n_seg_t, body, jnp.int32(0))
     # neutral tail: stale columns beyond `total` up to the next segment
-    # boundary must be inert for phase 2's final segment
+    # boundary must be inert for phase 2's final segment — INCLUDING the
+    # sh scratch: a neutral pf column only zeroes the emission WEIGHT, and
+    # 0 * (uninitialized VMEM that happens to be inf/nan) is nan (this
+    # exact mode produced whole-nan tiles on the 2M bench scene)
     base = (total // _ALIGN) * _ALIGN
     r_off = total - base
     col = jax.lax.broadcasted_iota(jnp.int32, (1, wide), 1)
@@ -411,6 +414,10 @@ def _compact_phase(
     wsl = pl.ds(base, wide)
     old_pf = scr_pf[:, wsl]
     scr_pf[:, wsl] = jnp.where(keep_old, old_pf, _neutral_block(wide))
+    old_sh = scr_sh[0:n_sh_rows, wsl]
+    scr_sh[0:n_sh_rows, wsl] = jnp.where(
+        keep_old, old_sh, jnp.zeros_like(old_sh)
+    )
     # coverage: phase 2's last segment ends at ceil(total/seg)*seg
     # <= total + seg <= base + _ALIGN + seg = base + wide  (r_off < _ALIGN)
     return (total + seg - 1) // seg
@@ -518,12 +525,12 @@ def _fwd3_kernel(
                 # by the table builders (rf_tiled.build_state adds
                 # sqrt(pi) = 0.5 / Y00 to each channel's DC row)
                 e_ch = jnp.maximum(e_ch, 0.0)
-                if "sumdot_off" in _ABL:
-                    acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
-                else:
-                    # lane reduction on the MXU (ut's last column is all-
-                    # ones), hi/lo split for ~f32 accuracy; frees the
-                    # VPU's log2(C) shuffle tree
+                if "sumdot" in _ABL:
+                    # A/B: lane reduction on the MXU (ut's last column is
+                    # all-ones, hi/lo split). Measured SLOWER than the
+                    # VPU lane reduction at bench scale (33.8 vs ~32 ms
+                    # frame) — the extra MXU passes serialize against the
+                    # transmittance/emission GEMMs. Kept for re-testing.
                     we = w_ * e_ch
                     we_hi = we.astype(jnp.bfloat16).astype(f32)
                     ones_c = ut[:, seg - 1:seg]
@@ -533,6 +540,8 @@ def _fwd3_kernel(
                             we - we_hi, ones_c, preferred_element_type=f32
                         )
                     )
+                else:
+                    acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
 
             return (
                 log_beta + cs_incl[:, seg - 1:seg],
