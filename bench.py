@@ -30,6 +30,7 @@ published 3DGRT-class GPU figure) until a measured Dr.Jit-CUDA baseline
 exists.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -665,9 +666,30 @@ def main():
             pts.append(time.perf_counter() - t0)
         prb_s = float(np.min(pts))
         prb_mrays = 256 * 256 / prb_s / 1e6
+        prb512_ms = None
+        if os.environ.get("BENCH_PRB512", "1") != "0":
+            pcam5 = dataclasses.replace(pcam, width=512, height=512)
+            pjs5 = jax.jit(
+                lambda p, s: jnp.sum(
+                    vmodels.render(
+                        p, pcam5, prb_mod.radiance, pcfg, sky, spp=1, seed=s
+                    )
+                )
+            )
+            float(pjs5(smoke, jnp.int32(0)))
+            p5 = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                float(pjs5(smoke, jnp.int32(i + 1)))
+                p5.append(time.perf_counter() - t0)
+            prb512_ms = round(float(np.min(p5)) * 1e3, 1)
+            print(
+                f"prb smoke 512^2x1spp: {prb512_ms:.0f} ms", file=sys.stderr
+            )
         prb_stats = {
             "prb_smoke_256_ms": round(prb_s * 1e3, 1),
             "prb_smoke_mrays": round(prb_mrays, 3),
+            **({"prb_smoke_512_ms": prb512_ms} if prb512_ms else {}),
         }
         print(
             f"prb smoke 256^2x1spp: {prb_s * 1e3:.0f} ms "
