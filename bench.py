@@ -411,6 +411,10 @@ def main():
         for p in cls_env.split(",") if p
     )
     compact0 = os.environ.get("BENCH_COMPACT", "1") == "1"
+    # BENCH_RESORT=1: per-primitive depth resort of the gathered tables
+    # along the tile axis (the fused default composites in cluster-gather
+    # order; the exact-order ceiling is ordering-limited at ~31 dB)
+    resort0 = os.environ.get("BENCH_RESORT", "0") == "1" or None
 
     def build(mc, refine=rf0, classes=classes0):
         cfg = rf_tiled.RFTiledConfig(
@@ -420,7 +424,7 @@ def main():
             refine_fraction=0.0 if classes else refine,
             refine_factor=4, kernel_batch=kb, coarse_factor=cf0,
             super_group=sg0, budget_classes=classes,
-            kernel_compact=compact0,
+            kernel_compact=compact0, prim_resort=resort0,
         )
         state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
         return cfg, state
