@@ -276,7 +276,7 @@ def bench_prb_cluster_1m(jax, jnp, vp):
 
     smoke = vp.scene.load_ply("/root/reference/resources/smoke.ply")
     n0 = smoke.num_prims
-    reps = 64  # 16k -> 1.05M primitives
+    reps = -(-1_048_576 // n0)  # 835-prim smoke -> 1.05M primitives
     rng = np.random.default_rng(3)
     offs = rng.uniform(-3.0, 3.0, size=(reps, 3)).astype(np.float32)
     offs[0] = 0.0
@@ -725,9 +725,12 @@ def main():
     }
     if np.isfinite(psnr_exact):  # surface scene only (fog has no golden)
         details["rf_psnr_vs_exact_db"] = round(psnr_exact, 2)
-    with open(os.path.join(os.path.dirname(__file__) or ".",
-                           "BENCH_DETAILS.json"), "w") as f:
-        json.dump(details, f, indent=1)
+    # A/B sweeps (BENCH_NO_DETAILS=1) must not clobber the canonical
+    # details of the default configuration
+    if os.environ.get("BENCH_NO_DETAILS", "0") != "1":
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=1)
     print(
         json.dumps(
             {
