@@ -403,7 +403,12 @@ def main():
     # budget classes — the measured quality/speed winner (16.5 Mrays/s at
     # 30.2 dB-vs-exact pre-thinning; see BENCH_DETAILS.json). "none"
     # disables classes; BENCH_COMPACT=0 disables compaction.
-    cls_env = os.environ.get("BENCH_CLASSES", "0.6:192,0.3:320,0.1:512")
+    # 5 tiers fitted to the measured need distribution (mean 152 / p90 294
+    # / max 465 clusters per tile) beat 3 tiers by 1.7 Mrays at identical
+    # 30.2 dB (q6d: 18.0 vs 16.3): average static budget 224 vs 262.
+    cls_env = os.environ.get(
+        "BENCH_CLASSES", "0.35:128,0.3:192,0.2:288,0.1:384,0.05:512"
+    )
     if cls_env == "none":
         cls_env = ""
     classes0 = tuple(

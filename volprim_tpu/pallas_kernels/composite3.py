@@ -206,6 +206,35 @@ def _ray_blocks_t(d_ref, degree, b=0):
 # [RT, K] x [K, C] -> [RT, C] (plain matmul on the transposed tables)
 _DN_N = (((1,), (0,)), ((), ()))
 
+_CUM_BLOCK = 128
+
+
+def _cumsum_blocked(x, ut, seg):
+    """Inclusive lane cumsum of ``x`` [RT, seg] via 128-wide triangular
+    blocks + a carry, instead of one [seg, seg] triangular dot.
+
+    The triangular-matmul cumsum is O(seg^2) MXU MACs; the walk's segment
+    loop is MXU-bound at seg = 256 (the two hi/lo transmittance dots + the
+    depth-count dot dominate the measured 2.6 us/tile-segment). Splitting
+    into seg/128 blocks halves the MAC count at seg = 256 while the carry
+    is one [RT, 1] broadcast add per block. ``ut`` is the [seg, seg] ones
+    upper-triangular; its top-left [128, 128] block is the block-local
+    triangular."""
+    f32 = jnp.float32
+    if seg <= _CUM_BLOCK or seg % _CUM_BLOCK:
+        return jnp.dot(x, ut, preferred_element_type=f32)
+    utb = ut[:_CUM_BLOCK, :_CUM_BLOCK]
+    parts = []
+    carry = None
+    for b in range(seg // _CUM_BLOCK):
+        xb = x[:, b * _CUM_BLOCK:(b + 1) * _CUM_BLOCK]
+        cs = jnp.dot(xb, utb, preferred_element_type=f32)
+        if carry is not None:
+            cs = cs + carry
+        parts.append(cs)
+        carry = cs[:, _CUM_BLOCK - 1:_CUM_BLOCK]
+    return jnp.concatenate(parts, axis=1)
+
 
 def _dot3_n(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """bf16x3 emulated-f32 matmul [RT, K] x [K, C] (see _dot3_t)."""
@@ -474,9 +503,7 @@ def _fwd3_kernel(
                 cum_hits = count + jnp.zeros_like(alpha)
             else:
                 hitf = jnp.where(alpha > 0.0, 1.0, 0.0)
-                cum_hits = count + jnp.dot(
-                    hitf, ut, preferred_element_type=f32
-                )
+                cum_hits = count + _cumsum_blocked(hitf, ut, seg)
                 alpha = jnp.where(cum_hits <= max_depth, alpha, 0.0)
             if "notrans" in _ABL:
                 logt = -alpha
@@ -489,9 +516,9 @@ def _fwd3_kernel(
                 )
             else:
                 lt_hi = logt.astype(jnp.bfloat16).astype(f32)
-                cs_incl = jnp.dot(
-                    lt_hi, ut, preferred_element_type=f32
-                ) + jnp.dot(logt - lt_hi, ut, preferred_element_type=f32)
+                cs_incl = _cumsum_blocked(
+                    lt_hi, ut, seg
+                ) + _cumsum_blocked(logt - lt_hi, ut, seg)
             cs_excl = cs_incl - logt
             lw = log_beta + cs_excl
             if "notrans" in _ABL:
@@ -746,12 +773,12 @@ def _bwd3_subtile(
         cnt_scratch[si] = count[:, 0]
         _, _, _, _, _, _, _, _, _, _, alpha0, _ = common(si)
         hitf = jnp.where(alpha0 > 0.0, 1.0, 0.0)
-        cum_hits = count + jnp.dot(hitf, ut, preferred_element_type=f32)
+        cum_hits = count + _cumsum_blocked(hitf, ut, seg)
         alpha = jnp.where(cum_hits <= max_depth, alpha0, 0.0)
         logt = jnp.log1p(-alpha)
         lt_hi = logt.astype(jnp.bfloat16).astype(f32)
-        cs_incl = jnp.dot(lt_hi, ut, preferred_element_type=f32) + jnp.dot(
-            logt - lt_hi, ut, preferred_element_type=f32
+        cs_incl = _cumsum_blocked(lt_hi, ut, seg) + _cumsum_blocked(
+            logt - lt_hi, ut, seg
         )
         return (log_beta + cs_incl[:, seg - 1:seg], cum_hits[:, seg - 1:seg])
 
@@ -769,13 +796,13 @@ def _bwd3_subtile(
         count = cnt_scratch[si][:, None]
 
         hitf = jnp.where(alpha0 > 0.0, 1.0, 0.0)
-        cum_hits = count + jnp.dot(hitf, ut, preferred_element_type=f32)
+        cum_hits = count + _cumsum_blocked(hitf, ut, seg)
         depth_ok = cum_hits <= max_depth
         alpha = jnp.where(depth_ok, alpha0, 0.0)
         logt = jnp.log1p(-alpha)
         lt_hi = logt.astype(jnp.bfloat16).astype(f32)
-        cs_incl = jnp.dot(lt_hi, ut, preferred_element_type=f32) + jnp.dot(
-            logt - lt_hi, ut, preferred_element_type=f32
+        cs_incl = _cumsum_blocked(lt_hi, ut, seg) + _cumsum_blocked(
+            logt - lt_hi, ut, seg
         )
         cs_excl = cs_incl - logt
         lw = log_beta + cs_excl
