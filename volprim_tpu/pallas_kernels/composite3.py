@@ -56,6 +56,13 @@ _ABL = frozenset(
     f for f in os.environ.get("VOLPRIM_ABL", "").split(",") if f
 )
 
+# Static-prefix fraction for the compacted walk: the first
+# ceil(frac * n_seg) segments run in a STATIC-trip fori (the only loop
+# form Mosaic software-pipelines; measured 5.4 vs 14-20 us/segment), with
+# dead segments masked inert; a dynamic fori finishes longer subtiles.
+# 0 restores the while_loop early-exit walk. Read at import/trace time.
+_WALK_STATIC = float(os.environ.get("VOLPRIM_WALK_STATIC", "0.4"))
+
 # [RT, K] x [C, K] -> [RT, C]
 _DN_T = (((1,), (1,)), ((), ()))
 
@@ -482,7 +489,7 @@ def _fwd3_kernel(
             assert sh_rows, "compact walk requires the [B, 3k, S] sh layout"
 
         def seg_body(si, carry, b=b, f6=f6, d3=d3, dx=dx, dy=dy, dz=dz,
-                     basis_h=basis_h, sh_rows=sh_rows):
+                     basis_h=basis_h, sh_rows=sh_rows, live_n=None):
             log_beta, lr, lg, lb_, count = carry
             sl = pl.ds(si * seg, seg)
             if compact:
@@ -498,6 +505,14 @@ def _fwd3_kernel(
             else:
                 alpha = jnp.minimum(opac * jnp.exp(-q_min), 0.9999)
             alpha = jnp.where(hit, alpha, 0.0)
+            live_seg = None
+            if live_n is not None:
+                # Static-prefix walk: segments at si >= live_n read STALE
+                # scratch (the compact phase only neutralizes up to the
+                # next boundary). One select makes them exactly inert —
+                # where() picks 0.0 even when the stale lane is inf/nan.
+                live_seg = si < live_n
+                alpha = jnp.where(live_seg, alpha, 0.0)
 
             if "nodepth" in _ABL:
                 cum_hits = count + jnp.zeros_like(alpha)
@@ -561,14 +576,19 @@ def _fwd3_kernel(
                     we = w_ * e_ch
                     we_hi = we.astype(jnp.bfloat16).astype(f32)
                     ones_c = ut[:, seg - 1:seg]
-                    acc.append(
+                    a_ch = (
                         jnp.dot(we_hi, ones_c, preferred_element_type=f32)
                         + jnp.dot(
                             we - we_hi, ones_c, preferred_element_type=f32
                         )
                     )
                 else:
-                    acc.append(jnp.sum(w_ * e_ch, axis=1, keepdims=True))
+                    a_ch = jnp.sum(w_ * e_ch, axis=1, keepdims=True)
+                if live_seg is not None:
+                    # stale sh x zero weight is still nan; mask after the
+                    # reduce (w_ is already 0 on dead segments)
+                    a_ch = jnp.where(live_seg, a_ch, 0.0)
+                acc.append(a_ch)
 
             return (
                 log_beta + cs_incl[:, seg - 1:seg],
@@ -596,7 +616,30 @@ def _fwd3_kernel(
             )
             if "nowalk" in _ABL:  # timing: compact-phase cost alone
                 n_seg_t = jnp.minimum(n_seg_t, 0)
-        if early_exit and not ({"static", "fori"} & _ABL):
+        if (
+            compact and _WALK_STATIC > 0.0
+            and not ({"static", "fori"} & _ABL)
+        ):
+            # Static-prefix walk + dynamic remainder (round 3): Mosaic
+            # only software-pipelines loops with STATIC trip counts — the
+            # measured walk cost was ~5.4 us/segment under a fixed-trip
+            # fori vs 14-20 us under the dynamic while/fori (q9 on-TPU).
+            # Walk ceil(_WALK_STATIC * n_seg) segments unconditionally
+            # (dead ones are masked inert inside seg_body — one select),
+            # then finish the rare overflowing subtile with a dynamic
+            # fori. Exact: every live segment is composited exactly once.
+            n_static = max(1, min(n_seg, int(n_seg * _WALK_STATIC + 0.9999)))
+            live = n_seg_t
+
+            def body_static(si, carry, seg_body=seg_body, live=live):
+                return seg_body(si, carry, live_n=live)
+
+            carry = jax.lax.fori_loop(0, n_static, body_static, init)
+            log_beta, lr, lg, lb_, _ = jax.lax.fori_loop(
+                n_static, jnp.maximum(live, n_static), seg_body, carry
+            )
+            si_fin = jnp.maximum(live, n_static)
+        elif early_exit and not ({"static", "fori"} & _ABL):
 
             def cond(state, n_seg_t=n_seg_t):
                 # a ray is spent when saturated OR past the hit cap (the
