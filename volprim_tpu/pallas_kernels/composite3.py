@@ -56,12 +56,17 @@ _ABL = frozenset(
     f for f in os.environ.get("VOLPRIM_ABL", "").split(",") if f
 )
 
-# Static-prefix fraction for the compacted walk: the first
-# ceil(frac * n_seg) segments run in a STATIC-trip fori (the only loop
-# form Mosaic software-pipelines; measured 5.4 vs 14-20 us/segment), with
-# dead segments masked inert; a dynamic fori finishes longer subtiles.
-# 0 restores the while_loop early-exit walk. Read at import/trace time.
-_WALK_STATIC = float(os.environ.get("VOLPRIM_WALK_STATIC", "0.4"))
+# Static-prefix fraction for the compacted walk (q10 A/B: LOST — 47 vs
+# 30 ms frame at 0.4; the per-walked-segment cost is invariant to loop
+# form, so masked extra segments are pure cost. Kept at 0 for
+# re-testing; the compact walk instead uses a dynamic-bound fori with no
+# early-exit cond, the best measured variant at 29.3 ms vs the
+# while_loop's 30.1).
+_WALK_STATIC = float(os.environ.get("VOLPRIM_WALK_STATIC", "0"))
+
+# Full-static compact-phase scan: q9b implies extra compact segments
+# cost only ~0.6 us each, so scanning all n_seg buys nothing — off.
+_COMPACT_STATIC = os.environ.get("VOLPRIM_COMPACT_STATIC", "0") == "1"
 
 # [RT, K] x [C, K] -> [RT, C]
 _DN_T = (((1,), (1,)), ((), ()))
@@ -377,6 +382,7 @@ def _neutral_block(seg):
 
 def _compact_phase(
     pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, cone,
+    n_static=None,
 ):
     """Phase 1 of the compacted walk: stream the subtile's segments, drop
     columns whose bounding sphere misses the subtile cone (one-hot MXU
@@ -437,7 +443,13 @@ def _compact_phase(
         scr_sh[0:n_sh_rows, wsl] = jnp.where(keep_old, old_sh, sh_cmp)
         return total + live
 
-    total = jax.lax.fori_loop(0, n_seg_t, body, jnp.int32(0))
+    # Static trip count when offered (n_static, a python int): Mosaic only
+    # software-pipelines static-trip loops (measured 3x per-segment; see
+    # the walk's static-prefix note). Exact — slots past a tile's live
+    # count are neutral rows (r = -1), which the mask never passes.
+    total = jax.lax.fori_loop(
+        0, n_static if n_static is not None else n_seg_t, body, jnp.int32(0)
+    )
     # neutral tail: stale columns beyond `total` up to the next segment
     # boundary must be inert for phase 2's final segment — INCLUDING the
     # sh scratch: a neutral pf column only zeroes the emission WEIGHT, and
@@ -613,6 +625,10 @@ def _fwd3_kernel(
             n_seg_t = _compact_phase(
                 pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg,
                 _subtile_cone(d_ref, b),
+                n_static=(
+                    n_seg
+                    if _COMPACT_STATIC and "noop" not in _ABL else None
+                ),
             )
             if "nowalk" in _ABL:  # timing: compact-phase cost alone
                 n_seg_t = jnp.minimum(n_seg_t, 0)
@@ -639,6 +655,14 @@ def _fwd3_kernel(
                 n_static, jnp.maximum(live, n_static), seg_body, carry
             )
             si_fin = jnp.maximum(live, n_static)
+        elif compact and not ({"static", "fori"} & _ABL):
+            # compacted streams average ~2.5 live segments: the early-exit
+            # cond's any(active) reduction never pays — plain dynamic fori
+            # (q9a: 29.3 ms vs 30.1 for the while_loop)
+            log_beta, lr, lg, lb_, _ = jax.lax.fori_loop(
+                0, n_seg_t, seg_body, init
+            )
+            si_fin = n_seg_t
         elif early_exit and not ({"static", "fori"} & _ABL):
 
             def cond(state, n_seg_t=n_seg_t):
@@ -790,6 +814,7 @@ def _bwd3_subtile(
         n_seg_t = _compact_phase(
             pf_ref, sh_ref, ut, scr_pf, scr_sh, sb, n_orig_t, seg,
             _subtile_cone(d_ref, sb),
+            n_static=n_seg if _COMPACT_STATIC else None,
         )
         gscr_pf[...] = jnp.zeros_like(gscr_pf)
         gscr_sh[...] = jnp.zeros_like(gscr_sh)
