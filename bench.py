@@ -186,9 +186,7 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
     # stays on the headline classes.
     cls2 = os.environ.get("BENCH_2M_CLASSES", "headline")
     if cls2 != "headline" and cfg.budget_classes:
-        import dataclasses as _dc
-
-        cfg = _dc.replace(
+        cfg = dataclasses.replace(
             cfg,
             budget_classes=tuple(
                 (float(p.split(":")[0]), int(p.split(":")[1]))
