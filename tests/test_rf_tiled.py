@@ -620,3 +620,99 @@ def test_kernel_compact_matches_uncompacted():
     g0 = np.asarray(jax.grad(loss)(s.attrs["opacities"], cfg0))
     g1 = np.asarray(jax.grad(loss)(s.attrs["opacities"], cfg1))
     np.testing.assert_allclose(g1, g0, rtol=1e-3, atol=1e-5)
+
+
+def test_feat_major_layout_matches_default():
+    """feat_major=True feeds the kernel [F, T, S]/[3k, T, S] tables built
+    by middle-axis takes (no transpose relayouts). The kernel math is
+    identical, the gathered values are identical f32s, so the image must
+    be bitwise equal to the tile-major layout — with and without in-kernel
+    compaction — and gradients must agree to float noise (the backward
+    scatter through the take differs only in reduction order)."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128,
+        use_clusters=True, cluster_size=16, backend="fused",
+        coarse_group=4, coarse_factor=4,
+    )
+    for compact in (False, True):
+        imgs = {}
+        for fm in (False, True):
+            cfg = rf_tiled.RFTiledConfig(
+                feat_major=fm, kernel_compact=compact, **kw
+            )
+            imgs[fm] = np.asarray(
+                rf_tiled.render(
+                    s, cam, cfg, None, spp=1, seed=0, jitter=False
+                )
+            )
+        assert np.isfinite(imgs[True]).all()
+        np.testing.assert_array_equal(
+            imgs[True], imgs[False],
+            err_msg=f"feat_major image mismatch (compact={compact})",
+        )
+
+    # budget classes + feat_major (the bench config shape)
+    cfg_cls = rf_tiled.RFTiledConfig(
+        feat_major=True, kernel_compact=True,
+        budget_classes=((0.5, 16), (0.5, 32)), **kw
+    )
+    cfg_ref = rf_tiled.RFTiledConfig(
+        kernel_compact=True,
+        budget_classes=((0.5, 16), (0.5, 32)), **kw
+    )
+    img_cls = np.asarray(
+        rf_tiled.render(s, cam, cfg_cls, None, spp=1, seed=0, jitter=False)
+    )
+    img_ref = np.asarray(
+        rf_tiled.render(s, cam, cfg_ref, None, spp=1, seed=0, jitter=False)
+    )
+    np.testing.assert_array_equal(img_cls, img_ref)
+
+
+def test_feat_major_gradients_match():
+    s = surface_scene(800, seed=5)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=48, srgb_primitives=False,
+        tile_pixels=256, max_candidates=256, segment=64,
+        use_clusters=True, cluster_size=32, backend="fused",
+    )
+    target = jnp.zeros((32, 32, 3))
+
+    def loss(params, fm):
+        s2 = scene.EllipsoidScene(
+            params["centers"], s.scales, s.quats,
+            {**s.attrs, "opacities": params["opacities"],
+             "sh_coeffs": params["sh_coeffs"]},
+            s.extent,
+        )
+        cfg = rf_tiled.RFTiledConfig(feat_major=fm, **kw)
+        img = rf_tiled.render(s2, cam, cfg, None, spp=1, seed=0, jitter=False)
+        return jnp.mean((img - target) ** 2)
+
+    params = {
+        "centers": s.centers,
+        "opacities": s.attrs["opacities"],
+        "sh_coeffs": s.attrs["sh_coeffs"],
+    }
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fm = jax.grad(lambda p: loss(p, True))(params)
+    for k in params:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_fm[k])
+        assert np.isfinite(b).all(), k
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=1e-5,
+            err_msg=f"feat_major gradient mismatch for {k}",
+        )

@@ -128,6 +128,13 @@ class RFTiledConfig:
     # cone before the per-ray walk (exact: removed columns cannot hit any
     # ray). Cuts walked pairs by the intra-cluster miss fraction.
     kernel_compact: bool = False
+    # Feature-major kernel tables (fused backend): pf/sh enter the kernel
+    # as [F, T, S] (tile axis in the middle), built by a middle-axis
+    # jnp.take of [F, Ncl, cs] tables. Removes the per-frame [16, N] ->
+    # [Ncl, 16*cs] pack relayout AND the per-tile [Tb, K, 16, cs] ->
+    # [Tb, 16, S] transposes (the two relayouts in the measured ~8 ms
+    # XLA-side pack+gather stage). Same kernel math; new Mosaic variants.
+    feat_major: bool = False
 
     @property
     def kernel(self) -> Kernel:
@@ -206,12 +213,21 @@ def build_state(primitives: EllipsoidScene, cfg: RFTiledConfig) -> RFTiledState:
             sh_coeffs[:, 0, :] * 0.28209479177387814 + 0.5
         )
         shr = sh_fold.transpose(0, 2, 1).reshape(n, 3 * k)  # ch-major
-        shrows = (
-            shr.reshape(ncl, cs, 3 * k)
-            .transpose(0, 2, 1)
-            .reshape(ncl, 3 * k * cs)
-            .astype(jnp.bfloat16)
-        )
+        if getattr(cfg, "feat_major", False):
+            # [3k, Ncl, cs]: a middle-axis take of this table yields the
+            # kernel's [3k, Tb, S] blocks with no transpose relayout
+            shrows = (
+                shr.reshape(ncl, cs, 3 * k)
+                .transpose(2, 0, 1)
+                .astype(jnp.bfloat16)
+            )
+        else:
+            shrows = (
+                shr.reshape(ncl, cs, 3 * k)
+                .transpose(0, 2, 1)
+                .reshape(ncl, 3 * k * cs)
+                .astype(jnp.bfloat16)
+            )
     else:
         shrows = None
     sup_centers, sup_radii = clusters.build_super_spheres(
@@ -630,13 +646,21 @@ def _render_tiles(
 
         ncl = work.num_prims // cs
         ptab = composite3.pack_fused_features(work, origin)  # [16, N]
-        # cluster-row layout [Ncl, 16*cs]: ONE wide gather per tile block
-        # instead of 16 narrow plane gathers (row-gathers cost ~10 ns each
-        # on v5e regardless of width — 2M narrow rows took ~28 ms/frame,
-        # 131k wide rows take ~2 ms + one relayout)
-        ptab_rows = (
-            ptab.reshape(16, ncl, cs).transpose(1, 0, 2).reshape(ncl, 16 * cs)
-        )
+        if cfg.feat_major:
+            # [16, Ncl, cs]: a FREE reshape (no relayout) — the per-tile
+            # middle-axis take below produces the kernel's [16, Tb, S]
+            # blocks directly
+            ptab_rows = ptab.reshape(16, ncl, cs)
+        else:
+            # cluster-row layout [Ncl, 16*cs]: ONE wide gather per tile
+            # block instead of 16 narrow plane gathers (row-gathers cost
+            # ~10 ns each on v5e regardless of width — 2M narrow rows took
+            # ~28 ms/frame, 131k wide rows take ~2 ms + one relayout)
+            ptab_rows = (
+                ptab.reshape(16, ncl, cs)
+                .transpose(1, 0, 2)
+                .reshape(ncl, 16 * cs)
+            )
 
         if _DEBUG_STOP == "pack":
             probe = jnp.sum(keys_full, where=jnp.isfinite(keys_full)) * (
@@ -670,17 +694,27 @@ def _render_tiles(
             # [Tb, 16, S] block; invalid clusters' slots become neutral
             neutral = composite3.neutral_fused_row()
             valid_row = jnp.repeat(cl_v, cs, axis=-1)  # [Tb, S]
-            rows = jnp.take(
-                ptab_rows, cl_i.reshape(-1), axis=0, mode="clip"
-            )  # [Tb*K, 16*cs]
-            pf_t = (
-                rows.reshape(tb, k_here, 16, cs)
-                .transpose(0, 2, 1, 3)
-                .reshape(tb, 16, s_here)
-            )
-            pf_t = jnp.where(
-                valid_row[:, None, :], pf_t, neutral[None, :, None]
-            )
+            if cfg.feat_major:
+                # middle-axis take: [16, Tb, K, cs] -> [16, Tb, S] is a
+                # free reshape (K, cs adjacent) — no transpose relayout
+                pf_t = jnp.take(
+                    ptab_rows, cl_i, axis=1, mode="clip"
+                ).reshape(16, tb, s_here)
+                pf_t = jnp.where(
+                    valid_row[None, :, :], pf_t, neutral[:, None, None]
+                )
+            else:
+                rows = jnp.take(
+                    ptab_rows, cl_i.reshape(-1), axis=0, mode="clip"
+                )  # [Tb*K, 16*cs]
+                pf_t = (
+                    rows.reshape(tb, k_here, 16, cs)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(tb, 16, s_here)
+                )
+                pf_t = jnp.where(
+                    valid_row[:, None, :], pf_t, neutral[None, :, None]
+                )
             if _DEBUG_STOP == "gather_pf":
                 probe = (
                     jnp.sum(pf_t) + jnp.sum(n_seg_t).astype(jnp.float32)
@@ -695,27 +729,51 @@ def _render_tiles(
             # slots need no masking: their pf rows are neutral (opacity 0),
             # so their emission weight is exactly zero.
             k_live = _basis_count(state)
-            sh_small = jnp.take(
-                state.shrows, cl_i.reshape(-1), axis=0, mode="clip"
-            )
-            sh_t = (
-                sh_small.reshape(tb, k_here, 3 * k_live, cs)
-                .transpose(0, 2, 1, 3)
-                .reshape(tb, 3 * k_live, s_here)
-            )
+            if cfg.feat_major:
+                sh_t = jnp.take(
+                    state.shrows, cl_i, axis=1, mode="clip"
+                ).reshape(3 * k_live, tb, s_here)
+            else:
+                sh_small = jnp.take(
+                    state.shrows, cl_i.reshape(-1), axis=0, mode="clip"
+                )
+                sh_t = (
+                    sh_small.reshape(tb, k_here, 3 * k_live, cs)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(tb, 3 * k_live, s_here)
+                )
             if resort:
                 # exact per-primitive view depth from the packed rows
                 # (w = o - c lives at rows 9:12 — no extra gathers); the
                 # tile axis approximates every ray's direction
-                depth = -(
-                    pf_t[:, 9] * ax_b[:, 0:1]
-                    + pf_t[:, 10] * ax_b[:, 1:2]
-                    + pf_t[:, 11] * ax_b[:, 2:3]
-                )
-                depth = jnp.where(valid_row, depth, jnp.inf)
-                order = jnp.argsort(depth, axis=-1)
-                pf_t = jnp.take_along_axis(pf_t, order[:, None, :], axis=2)
-                sh_t = jnp.take_along_axis(sh_t, order[:, None, :], axis=2)
+                if cfg.feat_major:
+                    depth = -(
+                        pf_t[9] * ax_b[:, 0:1]
+                        + pf_t[10] * ax_b[:, 1:2]
+                        + pf_t[11] * ax_b[:, 2:3]
+                    )
+                    depth = jnp.where(valid_row, depth, jnp.inf)
+                    order = jnp.argsort(depth, axis=-1)
+                    pf_t = jnp.take_along_axis(
+                        pf_t, order[None, :, :], axis=2
+                    )
+                    sh_t = jnp.take_along_axis(
+                        sh_t, order[None, :, :], axis=2
+                    )
+                else:
+                    depth = -(
+                        pf_t[:, 9] * ax_b[:, 0:1]
+                        + pf_t[:, 10] * ax_b[:, 1:2]
+                        + pf_t[:, 11] * ax_b[:, 2:3]
+                    )
+                    depth = jnp.where(valid_row, depth, jnp.inf)
+                    order = jnp.argsort(depth, axis=-1)
+                    pf_t = jnp.take_along_axis(
+                        pf_t, order[:, None, :], axis=2
+                    )
+                    sh_t = jnp.take_along_axis(
+                        sh_t, order[:, None, :], axis=2
+                    )
 
             if _DEBUG_STOP == "gather":
                 probe = (
@@ -792,6 +850,7 @@ def _render_tiles(
                     jax.default_backend() != "tpu",
                     kb,
                     cfg.kernel_compact,
+                    cfg.feat_major,
                 )
                 if emitter is not None:
                     d = jnp.stack([dnx, dny, dnz], axis=-1)

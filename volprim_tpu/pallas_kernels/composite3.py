@@ -382,7 +382,7 @@ def _neutral_block(seg):
 
 def _compact_phase(
     pf_ref, sh_ref, ut, scr_pf, scr_sh, b, n_seg_t, seg, cone,
-    n_static=None,
+    n_static=None, feat_major=False,
 ):
     """Phase 1 of the compacted walk: stream the subtile's segments, drop
     columns whose bounding sphere misses the subtile cone (one-hot MXU
@@ -405,7 +405,7 @@ def _compact_phase(
         sl = pl.ds(si * seg, seg)
         base = (total // _ALIGN) * _ALIGN
         r_off = total - base
-        pfT = pf_ref[b, :, sl]
+        pfT = pf_ref[:, b, sl] if feat_major else pf_ref[b, :, sl]
         m = _column_mask(pfT, cone)  # [1, C]
         pos = jnp.dot(m, ut, preferred_element_type=f32)  # incl cumsum
         live = pos[0, seg - 1].astype(jnp.int32)
@@ -433,7 +433,9 @@ def _compact_phase(
             keep_old, old_pf,
             jnp.where(in_new, cmp, _neutral_block(wide)),
         )
-        shT = sh_ref[b, :, sl]  # [3k, C] (bf16 or f32)
+        shT = (
+            sh_ref[:, b, sl] if feat_major else sh_ref[b, :, sl]
+        )  # [3k, C] (bf16 or f32)
         sh_cmp = jax.lax.dot_general(
             shT.astype(jnp.bfloat16) if shT.dtype == jnp.bfloat16 else shT,
             ph if shT.dtype == jnp.bfloat16 else p,
@@ -475,7 +477,7 @@ def _fwd3_kernel(
     nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref, scr_pf=None,
     scr_sh=None,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
-    stable_q=True, batch=1, compact=False,
+    stable_q=True, batch=1, compact=False, feat_major=False,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
@@ -499,6 +501,8 @@ def _fwd3_kernel(
         sh_rows = sh_ref.shape[2] == pf_ref.shape[2]  # [B, 3k, S] layout
         if compact:
             assert sh_rows, "compact walk requires the [B, 3k, S] sh layout"
+        if feat_major:
+            assert sh_rows, "feat_major requires the rows sh layout"
 
         def seg_body(si, carry, b=b, f6=f6, d3=d3, dx=dx, dy=dy, dz=dz,
                      basis_h=basis_h, sh_rows=sh_rows, live_n=None):
@@ -506,6 +510,8 @@ def _fwd3_kernel(
             sl = pl.ds(si * seg, seg)
             if compact:
                 pfT = scr_pf[:, sl]  # [16, C] — compacted stream
+            elif feat_major:
+                pfT = pf_ref[:, b, sl]  # [16, C] — [F, B, S] feature-major
             else:
                 pfT = pf_ref[b, :, sl]  # [16, C] — native transposed layout
             # shared pair math: the backward sweep recomputes exactly this
@@ -564,6 +570,8 @@ def _fwd3_kernel(
                     # feature-major [3k, S] table: channel block = k rows
                     if compact:
                         sh_ch = scr_sh[pl.ds(ch * sh_k, sh_k), sl]
+                    elif feat_major:
+                        sh_ch = sh_ref[pl.ds(ch * sh_k, sh_k), b, sl]
                     else:
                         sh_ch = sh_ref[b, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
                     e_ch = jax.lax.dot_general(
@@ -629,6 +637,7 @@ def _fwd3_kernel(
                     n_seg
                     if _COMPACT_STATIC and "noop" not in _ABL else None
                 ),
+                feat_major=feat_major,
             )
             if "nowalk" in _ABL:  # timing: compact-phase cost alone
                 n_seg_t = jnp.minimum(n_seg_t, 0)
@@ -731,6 +740,7 @@ def composite_tiles3(
     interpret: bool = False,
     batch: int = 1,
     compact: bool = False,
+    feat_major: bool = False,
 ):
     """Fused forward compositor. Returns (L [T, RT, 3], beta [T, RT]).
 
@@ -741,10 +751,17 @@ def composite_tiles3(
     survivors to a VMEM scratch; phase 2 walks the compacted stream. The
     mask is conservative, so the output is exact (up to one extra f32
     rounding from the one-hot move).
+    ``feat_major``: pf is [16, T, S] and sh3 is [3k, T, S] (tile axis in
+    the middle) — the layout a middle-axis ``jnp.take`` of [F, Ncl, cs]
+    tables produces with NO transpose relayout: the per-frame pack
+    becomes a free reshape of pack_fused_features' [16, N] output and the
+    per-tile [Tb, K, 16, cs] -> [Tb, 16, S] transpose disappears. Blocks
+    DMA'd per grid step are identical to the tile-major layout.
     """
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch, compact,
+        feat_major,
     )
     return out[..., :3], out[..., 3]
 
@@ -760,7 +777,7 @@ def _bwd3_kernel(
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch, scr_pf=None, scr_sh=None,
     gscr_pf=None, gscr_sh=None,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
-    batch=1, compact=False,
+    batch=1, compact=False, feat_major=False,
 ):
     """Two-sweep backward for the fused compositor: a forward sweep stores
     the per-segment (log_beta, count) carries, then a reverse sweep
@@ -784,6 +801,7 @@ def _bwd3_kernel(
             n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
             beta_kill=beta_kill, degree=degree, sh_k=sh_k,
             stable_q=stable_q, batch=batch, compact=compact,
+            feat_major=feat_major,
         )
 
 
@@ -792,7 +810,7 @@ def _bwd3_subtile(
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch, sb,
     scr_pf=None, scr_sh=None, gscr_pf=None, gscr_sh=None,
     *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
-    batch, compact=False,
+    batch, compact=False, feat_major=False,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
@@ -804,8 +822,12 @@ def _bwd3_subtile(
     dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
     basis_h = basis.astype(sh_ref.dtype)
 
-    gpf_ref[sb] = jnp.zeros_like(gpf_ref[sb])
-    gsh_ref[sb] = jnp.zeros_like(gsh_ref[sb])
+    if feat_major:
+        gpf_ref[:, sb] = jnp.zeros_like(gpf_ref[:, sb])
+        gsh_ref[:, sb] = jnp.zeros_like(gsh_ref[:, sb])
+    else:
+        gpf_ref[sb] = jnp.zeros_like(gpf_ref[sb])
+        gsh_ref[sb] = jnp.zeros_like(gsh_ref[sb])
 
     n_orig_t = jnp.minimum(
         nseg_ref[0, pl.program_id(0) * batch + sb], n_seg
@@ -815,6 +837,7 @@ def _bwd3_subtile(
             pf_ref, sh_ref, ut, scr_pf, scr_sh, sb, n_orig_t, seg,
             _subtile_cone(d_ref, sb),
             n_static=n_seg if _COMPACT_STATIC else None,
+            feat_major=feat_major,
         )
         gscr_pf[...] = jnp.zeros_like(gscr_pf)
         gscr_sh[...] = jnp.zeros_like(gscr_sh)
@@ -825,6 +848,8 @@ def _bwd3_subtile(
         sl = pl.ds(si * seg, seg)
         if compact:
             pfT = scr_pf[:, sl]  # [16, C] compacted stream
+        elif feat_major:
+            pfT = pf_ref[:, sb, sl]  # [16, C]
         else:
             pfT = pf_ref[sb, :, sl]  # [16, C]
         a, b, t_peak, p, q_raw, q_min, hit, opac, pfT = _fwd3_core(
@@ -886,6 +911,8 @@ def _bwd3_subtile(
             if sh_rows:
                 if compact:
                     sh_ch = scr_sh[pl.ds(ch * sh_k, sh_k), sl]
+                elif feat_major:
+                    sh_ch = sh_ref[pl.ds(ch * sh_k, sh_k), sb, sl]
                 else:
                     sh_ch = sh_ref[sb, pl.ds(ch * sh_k, sh_k), sl]  # [k, C]
                 e_raw = jax.lax.dot_general(
@@ -908,6 +935,11 @@ def _bwd3_subtile(
                 if compact:
                     gscr_sh[pl.ds(ch * sh_k, sh_k), sl] = (
                         gscr_sh[pl.ds(ch * sh_k, sh_k), sl] + g_sh_ch
+                    )
+                elif feat_major:
+                    gsh_ref[pl.ds(ch * sh_k, sh_k), sb, sl] = (
+                        gsh_ref[pl.ds(ch * sh_k, sh_k), sb, sl]
+                        + g_sh_ch.astype(gsh_ref.dtype)
                     )
                 else:
                     gsh_ref[sb, pl.ds(ch * sh_k, sh_k), sl] = (
@@ -1000,6 +1032,8 @@ def _bwd3_subtile(
         )  # [16, C] — native output layout, no transpose needed
         if compact:
             gscr_pf[:, sl] = gscr_pf[:, sl] + g_rows
+        elif feat_major:
+            gpf_ref[:, sb, sl] = gpf_ref[:, sb, sl] + g_rows
         else:
             gpf_ref[sb, :, sl] = gpf_ref[sb, :, sl] + g_rows
 
@@ -1020,7 +1054,9 @@ def _bwd3_subtile(
             sl = pl.ds(si * seg, seg)
             base = (total // _ALIGN) * _ALIGN
             r_off = total - base
-            pfT0 = pf_ref[sb, :, sl]
+            pfT0 = (
+                pf_ref[:, sb, sl] if feat_major else pf_ref[sb, :, sl]
+            )
             m = _column_mask(pfT0, cone_c)
             pos = jnp.dot(m, ut, preferred_element_type=f32)
             live = pos[0, seg - 1].astype(jnp.int32)
@@ -1045,7 +1081,10 @@ def _bwd3_subtile(
                 + jax.lax.dot_general(gl2, ph, _DN_T,
                                       preferred_element_type=f32)
             )  # [16, C]
-            gpf_ref[sb, :, sl] = g_orig
+            if feat_major:
+                gpf_ref[:, sb, sl] = g_orig
+            else:
+                gpf_ref[sb, :, sl] = g_orig
             g_cmp_sh = gscr_sh[:, pl.ds(base, wide)]  # [3k, wide] f32
             sh_h = g_cmp_sh.astype(jnp.bfloat16)
             sh_l = (g_cmp_sh - sh_h.astype(f32)).astype(jnp.bfloat16)
@@ -1054,7 +1093,10 @@ def _bwd3_subtile(
             ) + jax.lax.dot_general(
                 sh_l, ph, _DN_T, preferred_element_type=f32
             )
-            gsh_ref[sb, :, sl] = g_sh_orig.astype(gsh_ref.dtype)
+            if feat_major:
+                gsh_ref[:, sb, sl] = g_sh_orig.astype(gsh_ref.dtype)
+            else:
+                gsh_ref[sb, :, sl] = g_sh_orig.astype(gsh_ref.dtype)
             return total + live
 
         jax.lax.fori_loop(0, n_orig_t, scatter_body, jnp.int32(0))
@@ -1062,17 +1104,18 @@ def _bwd3_subtile(
 
 def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
               degree, sh_k, early_exit, stable_q, interpret, batch=1,
-              compact=False):
+              compact=False, feat_major=False):
     t = d8.shape[0]
     rt = d8.shape[2]
     s = pf.shape[2]
     assert s % seg == 0
     assert t % batch == 0
     # layout sniffing (sh rows vs legacy wide) is ambiguous at S == 48
-    assert not (s == 48 and sh3.shape[1] == 48), (
+    assert feat_major or not (s == 48 and sh3.shape[1] == 48), (
         "S == 48 with a 48-wide sh3 is ambiguous between the rows and "
         "legacy layouts; pad the shortlist away from 48"
     )
+    sh_nrows = sh3.shape[0] if feat_major else sh3.shape[1]
     n_seg = s // seg
     if n_seg_t is None:
         n_seg_t = jnp.full((t,), n_seg, jnp.int32)
@@ -1081,14 +1124,24 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, early_exit=early_exit,
         stable_q=stable_q, batch=batch, compact=compact,
+        feat_major=feat_major,
     )
     scratch_shapes = []
     if compact:
         assert sh3.shape[2] == s, "compact needs the [T, 3k, S] sh layout"
         scratch_shapes = [
             pltpu.VMEM((_FEAT, s + seg + _ALIGN), jnp.float32),
-            pltpu.VMEM((sh3.shape[1], s + seg + _ALIGN), sh3.dtype),
+            pltpu.VMEM((sh_nrows, s + seg + _ALIGN), sh3.dtype),
         ]
+    if feat_major:
+        assert pf.shape[0] == _FEAT and sh3.shape[1] == t
+        pf_spec = pl.BlockSpec((_FEAT, batch, s), lambda i: (0, i, 0))
+        sh_spec = pl.BlockSpec((sh_nrows, batch, s), lambda i: (0, i, 0))
+    else:
+        pf_spec = pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0))
+        sh_spec = pl.BlockSpec(
+            (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
+        )
     out = pl.pallas_call(
         kernel,
         grid=(t // batch,),
@@ -1097,10 +1150,8 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
                 (1, t), lambda i: (0, 0), memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
-            pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec(
-                (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
-            ),
+            pf_spec,
+            sh_spec,
             pl.BlockSpec((seg, seg), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((batch, rt, 8), lambda i: (i, 0, 0)),
@@ -1118,13 +1169,15 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp,
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
 )
 def composite_tiles3_ad(
     d8, pf, sh3, n_seg_t,
     seg: int, extent2: float, max_depth: int, beta_kill: float,
     degree: int, sh_k: int, early_exit: bool, stable_q: bool,
     interpret: bool, batch: int = 1, compact: bool = False,
+    feat_major: bool = False,
 ):
     """Differentiable fused compositor (forward = composite_tiles3; custom
     backward kernel). Gradients flow into pf and sh3; d8 / n_seg_t get
@@ -1132,22 +1185,24 @@ def composite_tiles3_ad(
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch, compact,
+        feat_major,
     )
     return out[..., :3], out[..., 3]
 
 
 def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
                degree, sh_k, early_exit, stable_q, interpret, batch=1,
-               compact=False):
+               compact=False, feat_major=False):
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch, compact,
+        feat_major,
     )
     return (out[..., :3], out[..., 3]), (d8, pf, sh3, n_seg_t)
 
 
 def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
-               stable_q, interpret, batch, compact, res, cts):
+               stable_q, interpret, batch, compact, feat_major, res, cts):
     d8, pf, sh3, n_seg_t = res
     g_l, g_beta = cts
     t = d8.shape[0]
@@ -1161,8 +1216,17 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         _bwd3_kernel,
         n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, stable_q=stable_q,
-        batch=batch, compact=compact,
+        batch=batch, compact=compact, feat_major=feat_major,
     )
+    sh_nrows = sh3.shape[0] if feat_major else sh3.shape[1]
+    if feat_major:
+        pf_spec = pl.BlockSpec((_FEAT, batch, s), lambda i: (0, i, 0))
+        sh_spec = pl.BlockSpec((sh_nrows, batch, s), lambda i: (0, i, 0))
+    else:
+        pf_spec = pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0))
+        sh_spec = pl.BlockSpec(
+            (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
+        )
     gpf, gsh = pl.pallas_call(
         kernel,
         grid=(t // batch,),
@@ -1171,22 +1235,18 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
                 (1, t), lambda i: (0, 0), memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
-            pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec(
-                (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
-            ),
+            pf_spec,
+            sh_spec,
             pl.BlockSpec((seg, seg), lambda i: (0, 0)),
             pl.BlockSpec((batch, rt, 3), lambda i: (i, 0, 0)),
             pl.BlockSpec((batch, 1, rt), lambda i: (i, 0, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((batch, _FEAT, s), lambda i: (i, 0, 0)),
-            pl.BlockSpec(
-                (batch,) + sh3.shape[1:], lambda i: (i, 0, 0)
-            ),
-        ),
+        out_specs=(pf_spec, sh_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((t, _FEAT, s), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (_FEAT, t, s) if feat_major else (t, _FEAT, s),
+                jnp.float32,
+            ),
             jax.ShapeDtypeStruct(sh3.shape, sh3.dtype),
         ),
         scratch_shapes=[
@@ -1195,9 +1255,9 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         ] + (
             [
                 pltpu.VMEM((_FEAT, s + seg + _ALIGN), jnp.float32),
-                pltpu.VMEM((sh3.shape[1], s + seg + _ALIGN), sh3.dtype),
+                pltpu.VMEM((sh_nrows, s + seg + _ALIGN), sh3.dtype),
                 pltpu.VMEM((_FEAT, s + seg + _ALIGN), jnp.float32),
-                pltpu.VMEM((sh3.shape[1], s + seg + _ALIGN), jnp.float32),
+                pltpu.VMEM((sh_nrows, s + seg + _ALIGN), jnp.float32),
             ]
             if compact else []
         ),
