@@ -431,6 +431,10 @@ def main():
         for p in cls_env.split(",") if p
     )
     compact0 = os.environ.get("BENCH_COMPACT", "1") == "1"
+    # BENCH_FM=1: feature-major kernel tables ([F, T, S] via middle-axis
+    # gathers, no relayouts). New Mosaic variants per budget class — only
+    # flip after the in-frame gather timing justifies the compiles.
+    fm0 = os.environ.get("BENCH_FM", "0") == "1"
     # BENCH_RESORT=1: per-primitive depth resort of the gathered tables
     # along the tile axis (the fused default composites in cluster-gather
     # order; the exact-order ceiling is ordering-limited at ~31 dB)
@@ -445,6 +449,7 @@ def main():
             refine_factor=4, kernel_batch=kb, coarse_factor=cf0,
             super_group=sg0, budget_classes=classes,
             kernel_compact=compact0, prim_resort=resort0,
+            feat_major=fm0,
         )
         state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
         return cfg, state
@@ -583,7 +588,7 @@ def main():
                 early_exit=True,
                 coarse_group=cg, coarse_factor=cf0, super_group=sg0,
                 kernel_batch=kb, refine_fraction=0.0,
-                kernel_compact=compact0,
+                kernel_compact=compact0, feat_major=fm0,
             )
             params = dict(
                 centers=scene.centers, scales=scene.scales,

@@ -62,6 +62,11 @@ def main():
         "--classes", default="",
         help="budget classes 'frac:k,...' (bench.py BENCH_CLASSES syntax)",
     )
+    ap.add_argument(
+        "--feat_major", action="store_true",
+        help="[F, T, S] kernel tables via middle-axis gathers (in_pack/"
+        "in_gather time the relayout-free route WITHOUT a Mosaic compile)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -96,6 +101,7 @@ def main():
         refine_factor=4, kernel_batch=args.kernel_batch,
         coarse_factor=args.coarse_factor, super_group=args.super_group,
         kernel_compact=args.compact, budget_classes=classes,
+        feat_major=args.feat_major,
     )
     state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
     spp = args.spp
