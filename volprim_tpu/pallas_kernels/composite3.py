@@ -474,13 +474,16 @@ def _compact_phase(
 
 
 def _fwd3_kernel(
-    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref, scr_pf=None,
+    nseg_ref, md_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref, scr_pf=None,
     scr_sh=None,
-    *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
+    *, n_seg, seg, extent2, beta_kill, degree, sh_k, early_exit,
     stable_q=True, batch=1, compact=False, feat_major=False,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
+    # traced hit cap (SMEM scalar): changing max_depth costs an XLA
+    # retrace, never a fresh 15-40 min Mosaic kernel compile
+    max_depth = md_ref[0, 0].astype(f32)
     log_kill = jnp.log(jnp.float32(beta_kill))
     e2h = extent2 * 0.5  # halved-M convention (pack_fused_features)
     ut = ut_ref[:]
@@ -773,10 +776,10 @@ _DN_T0 = (((0,), (0,)), ((), ()))
 
 
 def _bwd3_kernel(
-    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
+    nseg_ref, md_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch, scr_pf=None, scr_sh=None,
     gscr_pf=None, gscr_sh=None,
-    *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
+    *, n_seg, seg, extent2, beta_kill, degree, sh_k, stable_q,
     batch=1, compact=False, feat_major=False,
 ):
     """Two-sweep backward for the fused compositor: a forward sweep stores
@@ -794,11 +797,12 @@ def _bwd3_kernel(
     adjoints."""
     for b in range(batch):
         _bwd3_subtile(
-            nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
+            nseg_ref, md_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref,
+            gbeta_ref,
             gpf_ref, gsh_ref, lb_scratch, cnt_scratch, b,
             scr_pf=scr_pf, scr_sh=scr_sh, gscr_pf=gscr_pf,
             gscr_sh=gscr_sh,
-            n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
+            n_seg=n_seg, seg=seg, extent2=extent2,
             beta_kill=beta_kill, degree=degree, sh_k=sh_k,
             stable_q=stable_q, batch=batch, compact=compact,
             feat_major=feat_major,
@@ -806,14 +810,15 @@ def _bwd3_kernel(
 
 
 def _bwd3_subtile(
-    nseg_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
+    nseg_ref, md_ref, d_ref, pf_ref, sh_ref, ut_ref, gl_ref, gbeta_ref,
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch, sb,
     scr_pf=None, scr_sh=None, gscr_pf=None, gscr_sh=None,
-    *, n_seg, seg, extent2, max_depth, beta_kill, degree, sh_k, stable_q,
+    *, n_seg, seg, extent2, beta_kill, degree, sh_k, stable_q,
     batch, compact=False, feat_major=False,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
+    max_depth = md_ref[0, 0].astype(f32)
     hp = jax.lax.Precision.HIGHEST
     log_kill = jnp.log(jnp.float32(beta_kill))
     e2h = extent2 * 0.5  # halved-M convention (pack_fused_features)
@@ -1119,9 +1124,10 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
     n_seg = s // seg
     if n_seg_t is None:
         n_seg_t = jnp.full((t,), n_seg, jnp.int32)
+    md_arr = jnp.full((1, 1), max_depth, jnp.int32)
     kernel = functools.partial(
         _fwd3_kernel,
-        n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
+        n_seg=n_seg, seg=seg, extent2=extent2,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, early_exit=early_exit,
         stable_q=stable_q, batch=batch, compact=compact,
         feat_major=feat_major,
@@ -1149,6 +1155,9 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
             pl.BlockSpec(
                 (1, t), lambda i: (0, 0), memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
             pf_spec,
             sh_spec,
@@ -1162,7 +1171,7 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         ),
         interpret=interpret,
     )(
-        n_seg_t.astype(jnp.int32).reshape(1, t), d8, pf, sh3,
+        n_seg_t.astype(jnp.int32).reshape(1, t), md_arr, d8, pf, sh3,
         jnp.triu(jnp.ones((seg, seg), jnp.float32)),
     )
     return out
@@ -1212,9 +1221,10 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
     if n_seg_t is None:
         n_seg_t = jnp.full((t,), n_seg, jnp.int32)
     assert t % batch == 0
+    md_arr = jnp.full((1, 1), max_depth, jnp.int32)
     kernel = functools.partial(
         _bwd3_kernel,
-        n_seg=n_seg, seg=seg, extent2=extent2, max_depth=max_depth,
+        n_seg=n_seg, seg=seg, extent2=extent2,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, stable_q=stable_q,
         batch=batch, compact=compact, feat_major=feat_major,
     )
@@ -1233,6 +1243,9 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         in_specs=[
             pl.BlockSpec(
                 (1, t), lambda i: (0, 0), memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((batch, 8, rt), lambda i: (i, 0, 0)),
             pf_spec,
@@ -1266,7 +1279,7 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         ),
         interpret=interpret,
     )(
-        n_seg_t.astype(jnp.int32).reshape(1, t), d8, pf, sh3,
+        n_seg_t.astype(jnp.int32).reshape(1, t), md_arr, d8, pf, sh3,
         jnp.triu(jnp.ones((seg, seg), jnp.float32)),
         g_l, g_beta[:, None, :],
     )
