@@ -460,6 +460,10 @@ def main():
     # gathers, no relayouts). New Mosaic variants per budget class — only
     # flip after the in-frame gather timing justifies the compiles.
     fm0 = os.environ.get("BENCH_FM", "0") == "1"
+    # BENCH_CSORT=1 (needs BENCH_FM=1): pack-time intra-cluster depth
+    # sort — +0.74 dB at 262k zero truncation for one global [Ncl, cs]
+    # argsort + table permute per frame (measured on the CPU xla probe)
+    csort0 = os.environ.get("BENCH_CSORT", "0") == "1"
     # BENCH_RESORT=1: per-primitive depth resort of the gathered tables
     # along the tile axis (the fused default composites in cluster-gather
     # order; the exact-order ceiling is ordering-limited at ~31 dB)
@@ -474,7 +478,7 @@ def main():
             refine_factor=4, kernel_batch=kb, coarse_factor=cf0,
             super_group=sg0, budget_classes=classes,
             kernel_compact=compact0, prim_resort=resort0,
-            feat_major=fm0,
+            feat_major=fm0, cluster_sort=csort0,
         )
         state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene)
         return cfg, state

@@ -716,3 +716,52 @@ def test_feat_major_gradients_match():
             b / scale, a / scale, atol=1e-5,
             err_msg=f"feat_major gradient mismatch for {k}",
         )
+
+
+def test_cluster_sort_tracks_exact_better():
+    """Pack-time intra-cluster depth sort must (a) stay finite and match
+    the unsorted image closely (same primitive set, order changes only
+    within cs-blocks), and (b) track the exact-order xla image at least
+    as well as the unsorted fused render."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128,
+        use_clusters=True, cluster_size=16, backend="fused",
+        feat_major=True, kernel_compact=True,
+    )
+    img_exact = np.asarray(
+        rf_tiled.render(
+            s, cam,
+            rf_tiled.RFTiledConfig(
+                backend="xla", prim_resort=True,
+                **{k: v for k, v in kw.items()
+                   if k not in ("backend", "feat_major", "kernel_compact")},
+            ),
+            None, spp=1, seed=0, jitter=False,
+        )
+    )
+
+    def psnr(a, b):
+        return -10 * np.log10(np.mean((a - b) ** 2) + 1e-12)
+
+    img0 = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(**kw), None,
+            spp=1, seed=0, jitter=False,
+        )
+    )
+    img1 = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(cluster_sort=True, **kw), None,
+            spp=1, seed=0, jitter=False,
+        )
+    )
+    assert np.isfinite(img1).all()
+    assert psnr(img1, img0) > 25.0  # same set, intra-block order only
+    assert psnr(img1, img_exact) >= psnr(img0, img_exact) - 0.2

@@ -135,6 +135,17 @@ class RFTiledConfig:
     # [Tb, 16, S] transposes (the two relayouts in the measured ~8 ms
     # XLA-side pack+gather stage). Same kernel math; new Mosaic variants.
     feat_major: bool = False
+    # Pack-time intra-cluster depth sort (fused backend, needs
+    # feat_major): each cluster's cs columns are ordered by distance to
+    # the camera origin once per frame (a [Ncl, cs] argsort + one
+    # last-axis permute of the pf/sh tables, shared by every tile) —
+    # fixes the arbitrary Morton order WITHIN clusters that the
+    # cluster-gather stream otherwise composites in. Measured (CPU,
+    # xla-path probe vs exact): 31.16 -> 31.90 dB at 262k zero
+    # truncation (full per-tile resort: 32.88), +0.2 dB at 2M. The
+    # in-kernel compaction preserves stream order, so the sort survives
+    # kernel_compact.
+    cluster_sort: bool = False
 
     @property
     def kernel(self) -> Kernel:
@@ -625,10 +636,23 @@ def _render_tiles(
             ids, valid = clusters.expand_cluster_ids(cl_ids, cl_valid, cs)
             s = ids.shape[1]
         if resort and not use_fused:
-            # refine to per-primitive view depth ([T, S] sort)
             depth = jnp.einsum("tsi,ti->ts", work.centers[ids] - origin, axis)
             depth = jnp.where(valid, depth, jnp.inf)
-            order = jnp.argsort(depth, axis=-1)
+            if resort == "cluster":
+                # intra-cluster depth sort only: keeps the cluster-gather
+                # stream order (what the fused path walks) but fixes the
+                # arbitrary Morton order WITHIN each cs-block — the probe
+                # for the pack-time per-cluster sort (quality ceiling is
+                # ordering-limited: 31.1 dB at 262k, 25.9 dB at 2M)
+                t_, s_ = ids.shape
+                dep_c = depth.reshape(t_, s_ // cs, cs)
+                order = jnp.argsort(dep_c, axis=-1).reshape(t_, s_)
+                order = order + (
+                    jnp.arange(s_, dtype=order.dtype) // cs * cs
+                )[None, :]
+            else:
+                # refine to per-primitive view depth ([T, S] sort)
+                order = jnp.argsort(depth, axis=-1)
             ids = jnp.take_along_axis(ids, order, axis=-1)
             valid = jnp.take_along_axis(valid, order, axis=-1)
     else:
@@ -646,12 +670,28 @@ def _render_tiles(
 
         ncl = work.num_prims // cs
         ptab = composite3.pack_fused_features(work, origin)  # [16, N]
+        sh_table = state.shrows
         if cfg.feat_major:
             # [16, Ncl, cs]: a FREE reshape (no relayout) — the per-tile
             # middle-axis take below produces the kernel's [16, Tb, S]
             # blocks directly
             ptab_rows = ptab.reshape(16, ncl, cs)
+            if cfg.cluster_sort:
+                # order each cluster's columns by camera distance (w =
+                # o - c at rows 9-11); one global permute serves every
+                # tile's gathers
+                w2 = (
+                    ptab_rows[9] ** 2
+                    + ptab_rows[10] ** 2
+                    + ptab_rows[11] ** 2
+                )  # [Ncl, cs]
+                order = jnp.argsort(w2, axis=-1)
+                ptab_rows = jnp.take_along_axis(
+                    ptab_rows, order[None], axis=2
+                )
+                sh_table = jnp.take_along_axis(sh_table, order[None], axis=2)
         else:
+            assert not cfg.cluster_sort, "cluster_sort needs feat_major"
             # cluster-row layout [Ncl, 16*cs]: ONE wide gather per tile
             # block instead of 16 narrow plane gathers (row-gathers cost
             # ~10 ns each on v5e regardless of width — 2M narrow rows took
@@ -731,7 +771,7 @@ def _render_tiles(
             k_live = _basis_count(state)
             if cfg.feat_major:
                 sh_t = jnp.take(
-                    state.shrows, cl_i, axis=1, mode="clip"
+                    sh_table, cl_i, axis=1, mode="clip"
                 ).reshape(3 * k_live, tb, s_here)
             else:
                 sh_small = jnp.take(
