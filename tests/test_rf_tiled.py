@@ -718,6 +718,52 @@ def test_feat_major_gradients_match():
         )
 
 
+def test_feat_major_compact_gradients_match():
+    """fm backward under in-kernel compaction (the train-step config):
+    the compacted backward's phase-1 rebuild + transposed one-hot scatter
+    must read/write the [F, T, S] layout correctly."""
+    s = surface_scene(800, seed=5)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=48, srgb_primitives=False,
+        tile_pixels=256, max_candidates=256, segment=64,
+        use_clusters=True, cluster_size=32, backend="fused",
+        kernel_compact=True,
+    )
+    target = jnp.zeros((32, 32, 3))
+
+    def loss(params, fm):
+        s2 = scene.EllipsoidScene(
+            params["centers"], s.scales, s.quats,
+            {**s.attrs, "opacities": params["opacities"],
+             "sh_coeffs": params["sh_coeffs"]},
+            s.extent,
+        )
+        cfg = rf_tiled.RFTiledConfig(feat_major=fm, **kw)
+        img = rf_tiled.render(s2, cam, cfg, None, spp=1, seed=0, jitter=False)
+        return jnp.mean((img - target) ** 2)
+
+    params = {
+        "centers": s.centers,
+        "opacities": s.attrs["opacities"],
+        "sh_coeffs": s.attrs["sh_coeffs"],
+    }
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fm = jax.grad(lambda p: loss(p, True))(params)
+    for k in params:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_fm[k])
+        assert np.isfinite(b).all(), k
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=1e-5,
+            err_msg=f"feat_major compact gradient mismatch for {k}",
+        )
+
+
 def test_cluster_sort_tracks_exact_better():
     """Pack-time intra-cluster depth sort must (a) stay finite and match
     the unsorted image closely (same primitive set, order changes only
