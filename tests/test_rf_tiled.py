@@ -811,3 +811,40 @@ def test_cluster_sort_tracks_exact_better():
     assert np.isfinite(img1).all()
     assert psnr(img1, img0) > 25.0  # same set, intra-block order only
     assert psnr(img1, img_exact) >= psnr(img0, img_exact) - 0.2
+
+
+def test_traced_max_depth_binds():
+    """max_depth enters the fused kernel as a traced SMEM scalar — verify
+    the cap actually reaches the walk: a tight cap must match the xla
+    backend at the same cap and differ from an uncapped render."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        srgb_primitives=False, tile_pixels=256, max_candidates=512,
+        segment=128, use_clusters=True, cluster_size=16,
+    )
+    def render(backend, md, fm=False):
+        extra = dict(feat_major=fm) if backend == "fused" else dict(
+            prim_resort=False
+        )
+        return np.asarray(
+            rf_tiled.render(
+                s, cam,
+                rf_tiled.RFTiledConfig(backend=backend, max_depth=md, **extra, **kw),
+                None, spp=1, seed=0, jitter=False,
+            )
+        )
+
+    f4 = render("fused", 4)
+    f_uncapped = render("fused", 100000)
+    x4 = render("xla", 4)
+    # the cap must bind on this scene ...
+    assert np.abs(f_uncapped - f4).max() > 1e-3
+    # ... and the fused walk must count hits exactly like the xla scan
+    np.testing.assert_allclose(f4, x4, rtol=1e-3, atol=2e-3)
+    # feat_major reads the same SMEM scalar
+    np.testing.assert_array_equal(render("fused", 4, fm=True), f4)
