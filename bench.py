@@ -365,15 +365,24 @@ def bench_prb_cluster_1m(jax, jnp, vp):
         found, dead, ts, alb, s1, s2 = prb_mod.free_flight(
             big, oo, d, xi, cfg, act, index=idx
         )
-        return found, ts, alb
+        return found, ts, dead
 
     j_cl = jax.jit(lambda s: ff(cfg_cl, index, s))
     j_br = jax.jit(lambda s: ff(cfg_br, None, s))
-    f_cl, t_cl, a_cl = j_cl(jnp_.int32(0))
-    f_br, t_br, a_br = j_br(jnp_.int32(0))
+    f_cl, t_cl, d_cl = j_cl(jnp_.int32(0))
+    f_br, t_br, d_br = j_br(jnp_.int32(0))
     f_cl, f_br = np.asarray(f_cl), np.asarray(f_br)
     t_cl, t_br = np.asarray(t_cl), np.asarray(t_br)
+    # Disagreements concentrate on budget-KILLED rays (the documented
+    # max_depth_primitive-style kill; the cluster path's conservative
+    # t_budget bound is tighter than brute's): among rays neither path
+    # killed, found-agreement measured exactly 1.0 on a 157x-overlapped
+    # stress scene. Report both.
+    live = ~np.asarray(d_cl) & ~np.asarray(d_br)
     agree_found = float((f_cl == f_br).mean())
+    agree_live = (
+        float((f_cl == f_br)[live].mean()) if live.any() else 1.0
+    )
     both = f_cl & f_br
     t_rel = float(
         np.max(np.abs(t_cl[both] - t_br[both]) / np.maximum(t_br[both], 1e-6))
@@ -393,13 +402,15 @@ def bench_prb_cluster_1m(jax, jnp, vp):
     print(
         f"prb 1M-prim free flight ({n} prims, {r} rays): cluster path"
         f" {ms_cl:.0f} ms vs brute scan {ms_br:.0f} ms; found-agreement"
-        f" {agree_found:.1%}, max rel t diff {t_rel:.2e}",
+        f" {agree_found:.1%} (live rays: {agree_live:.1%}), max rel t diff"
+        f" {t_rel:.2e}",
         file=sys.stderr,
     )
     return {
         "prb_1M_cluster_ms": round(ms_cl, 1),
         "prb_1M_brute_ms": round(ms_br, 1),
         "prb_1M_found_agreement": round(agree_found, 4),
+        "prb_1M_live_agreement": round(agree_live, 4),
         "prb_1M_t_rel_diff": float(f"{t_rel:.3e}"),
     }
 
