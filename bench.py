@@ -233,6 +233,36 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
         hbm_peak = dev.memory_stats().get("peak_bytes_in_use", 0)
     except Exception:
         hbm_peak = 0
+    if not hbm_peak:
+        # memory_stats is unavailable through the axon tunnel: report an
+        # analytic lower bound instead of a misleading 0 — resident state
+        # (prims + packed SH rows + cull tables) plus the largest
+        # transient (the deepest class's gathered pf/sh tile blocks + the
+        # per-frame [16, N] pack + kernel output).
+        def nbytes(tree):
+            return sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "size")
+            )
+
+        resident = nbytes(state)
+        kmax = max(k for _, k in cfg.budget_classes) if (
+            cfg.budget_classes
+        ) else cfg.max_candidates // cfg.cluster_size
+        n_t = (512 // 16) ** 2
+        frac = (
+            max(f for f, k in cfg.budget_classes
+                if k == kmax) if cfg.budget_classes else 1.0
+        )
+        tb = max(1, int(round(n_t * frac)))
+        s_max = kmax * cfg.cluster_size
+        transient = (
+            tb * s_max * (16 * 4 + 12 * 2)  # gathered pf f32 + sh bf16
+            + 16 * scene2.num_prims * 4     # per-frame pack table
+            + tb * 256 * 8 * 4              # kernel out [Tb, RT, 8]
+        )
+        hbm_peak = resident + transient
     times = []
     for i in range(3):
         t0 = _time.perf_counter()
