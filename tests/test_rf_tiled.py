@@ -848,3 +848,41 @@ def test_traced_max_depth_binds():
     np.testing.assert_allclose(f4, x4, rtol=1e-3, atol=2e-3)
     # feat_major reads the same SMEM scalar
     np.testing.assert_array_equal(render("fused", 4, fm=True), f4)
+
+
+def test_cluster_resort_probe_order_independent_limit():
+    """prim_resort='cluster' (the xla-path ordering probe) only permutes
+    ids WITHIN cs-blocks: in the low-opacity limit compositing is
+    order-independent, so all three resort modes must agree to first
+    order; at full opacity the probe must stay finite and keep the same
+    primitive set (identical beta)."""
+    s0 = surface_scene(3200, seed=7)
+    lo = scene.EllipsoidScene(
+        s0.centers, s0.scales, s0.quats,
+        {**s0.attrs, "opacities": s0.attrs["opacities"] * 1e-3},
+        s0.extent,
+    )
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False, tile_pixels=256,
+        max_candidates=512, segment=128, use_clusters=True,
+        cluster_size=16, backend="xla", coarse_group=0,
+    )
+    imgs = {}
+    for rs in (False, "cluster", True):
+        imgs[rs] = np.asarray(
+            rf_tiled.render(
+                lo, cam, rf_tiled.RFTiledConfig(prim_resort=rs, **kw),
+                None, spp=1, seed=0, jitter=False,
+            )
+        )
+    # second-order (alpha^2) terms + f32 summation order bound the
+    # agreement; first-order magnitudes here are ~1e-3
+    np.testing.assert_allclose(imgs["cluster"], imgs[False], rtol=2e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(imgs["cluster"], imgs[True], rtol=2e-3,
+                               atol=1e-6)
