@@ -705,96 +705,99 @@ def main():
     # ---- smoke-PRB metric (BASELINE config #3, the other headline half) --
     prb_stats = {}
     if os.environ.get("BENCH_PRB", "1") != "0":
-        from volprim_tpu import models as vmodels
-        from volprim_tpu.models import prb as prb_mod
+        try:
+            from volprim_tpu import models as vmodels
+            from volprim_tpu.models import prb as prb_mod
 
-        smoke = vp.scene.load_ply("/root/reference/resources/smoke.ply")
-        smoke.attrs["sigma_t"] = smoke.attrs["sigma_t"] * 10.0
-        sky = vp.ops.envmap.procedural_sky()
-        pcam = vp.scene.CameraSpecs(
-            name="prb", width=256, height=256,
-            to_world=vp.scene.look_at(
-                [-4.0, -0.3, 0.0], [0, 0, 0], [0, 1, 0]
-            ),
-            fov=40.0,
-        )
-        # Adaptive per-bounce caps (round 3): bounce 0 crosses the whole
-        # medium (full capacity); scattered bounces resolve in far fewer
-        # intervals — tail caps cut collection + walk capacity. Disable
-        # with BENCH_PRB_TAIL=0 for the round-2-equivalent estimator.
-        tail_on = os.environ.get("BENCH_PRB_TAIL", "1") != "0"
-        pcfg = prb_mod.PRBConfig(
-            max_depth=-1, bounce_cap=32, max_overlaps=8, max_windows=16,
-            collect_budget=128, use_clusters=False,
-            # 4x fewer (sort-bound) collection merges at smoke scale
-            chunk_size=4096,
-            tail_after=1 if tail_on else 1,
-            tail_windows=6 if tail_on else 0,
-            tail_budget=48 if tail_on else 0,
-            # diagnostics: BENCH_PRB_NEE=0 ablates next-event estimation
-            # (shadow-ray transmittance) to attribute its cost share
-            use_nee=os.environ.get("BENCH_PRB_NEE", "1") != "0",
-        )
-        pj = jax.jit(
-            lambda p, s: vmodels.render(
-                p, pcam, prb_mod.radiance, pcfg, sky, spp=1, seed=s
+            smoke = vp.scene.load_ply("/root/reference/resources/smoke.ply")
+            smoke.attrs["sigma_t"] = smoke.attrs["sigma_t"] * 10.0
+            sky = vp.ops.envmap.procedural_sky()
+            pcam = vp.scene.CameraSpecs(
+                name="prb", width=256, height=256,
+                to_world=vp.scene.look_at(
+                    [-4.0, -0.3, 0.0], [0, 0, 0], [0, 1, 0]
+                ),
+                fov=40.0,
             )
-        )
-        img_p = pj(smoke, jnp.int32(0))
-        assert np.isfinite(np.asarray(img_p)).all()
-        print(
-            f"prb smoke mean radiance {float(np.mean(np.asarray(img_p))):.5f}"
-            " (tail-cap bias check)",
-            file=sys.stderr,
-        )
-        # timing fetches a SCALAR (summing the image outside jit pulls the
-        # full 256^2x3 frame through the tunnel every rep — ~150 ms of
-        # transfer that is not device time)
-        pjs = jax.jit(
-            lambda p, s: jnp.sum(
-                vmodels.render(
+            # Adaptive per-bounce caps (round 3): bounce 0 crosses the whole
+            # medium (full capacity); scattered bounces resolve in far fewer
+            # intervals — tail caps cut collection + walk capacity. Disable
+            # with BENCH_PRB_TAIL=0 for the round-2-equivalent estimator.
+            tail_on = os.environ.get("BENCH_PRB_TAIL", "1") != "0"
+            pcfg = prb_mod.PRBConfig(
+                max_depth=-1, bounce_cap=32, max_overlaps=8, max_windows=16,
+                collect_budget=128, use_clusters=False,
+                # 4x fewer (sort-bound) collection merges at smoke scale
+                chunk_size=4096,
+                tail_after=1 if tail_on else 1,
+                tail_windows=6 if tail_on else 0,
+                tail_budget=48 if tail_on else 0,
+                # diagnostics: BENCH_PRB_NEE=0 ablates next-event estimation
+                # (shadow-ray transmittance) to attribute its cost share
+                use_nee=os.environ.get("BENCH_PRB_NEE", "1") != "0",
+            )
+            pj = jax.jit(
+                lambda p, s: vmodels.render(
                     p, pcam, prb_mod.radiance, pcfg, sky, spp=1, seed=s
                 )
             )
-        )
-        float(pjs(smoke, jnp.int32(0)))
-        pts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            float(pjs(smoke, jnp.int32(i + 1)))
-            pts.append(time.perf_counter() - t0)
-        prb_s = float(np.min(pts))
-        prb_mrays = 256 * 256 / prb_s / 1e6
-        prb512_ms = None
-        if os.environ.get("BENCH_PRB512", "1") != "0":
-            pcam5 = dataclasses.replace(pcam, width=512, height=512)
-            pjs5 = jax.jit(
+            img_p = pj(smoke, jnp.int32(0))
+            assert np.isfinite(np.asarray(img_p)).all()
+            print(
+                f"prb smoke mean radiance {float(np.mean(np.asarray(img_p))):.5f}"
+                " (tail-cap bias check)",
+                file=sys.stderr,
+            )
+            # timing fetches a SCALAR (summing the image outside jit pulls the
+            # full 256^2x3 frame through the tunnel every rep — ~150 ms of
+            # transfer that is not device time)
+            pjs = jax.jit(
                 lambda p, s: jnp.sum(
                     vmodels.render(
-                        p, pcam5, prb_mod.radiance, pcfg, sky, spp=1, seed=s
+                        p, pcam, prb_mod.radiance, pcfg, sky, spp=1, seed=s
                     )
                 )
             )
-            float(pjs5(smoke, jnp.int32(0)))
-            p5 = []
+            float(pjs(smoke, jnp.int32(0)))
+            pts = []
             for i in range(3):
                 t0 = time.perf_counter()
-                float(pjs5(smoke, jnp.int32(i + 1)))
-                p5.append(time.perf_counter() - t0)
-            prb512_ms = round(float(np.min(p5)) * 1e3, 1)
+                float(pjs(smoke, jnp.int32(i + 1)))
+                pts.append(time.perf_counter() - t0)
+            prb_s = float(np.min(pts))
+            prb_mrays = 256 * 256 / prb_s / 1e6
+            prb512_ms = None
+            if os.environ.get("BENCH_PRB512", "1") != "0":
+                pcam5 = dataclasses.replace(pcam, width=512, height=512)
+                pjs5 = jax.jit(
+                    lambda p, s: jnp.sum(
+                        vmodels.render(
+                            p, pcam5, prb_mod.radiance, pcfg, sky, spp=1, seed=s
+                        )
+                    )
+                )
+                float(pjs5(smoke, jnp.int32(0)))
+                p5 = []
+                for i in range(3):
+                    t0 = time.perf_counter()
+                    float(pjs5(smoke, jnp.int32(i + 1)))
+                    p5.append(time.perf_counter() - t0)
+                prb512_ms = round(float(np.min(p5)) * 1e3, 1)
+                print(
+                    f"prb smoke 512^2x1spp: {prb512_ms:.0f} ms", file=sys.stderr
+                )
+            prb_stats = {
+                "prb_smoke_256_ms": round(prb_s * 1e3, 1),
+                "prb_smoke_mrays": round(prb_mrays, 3),
+                **({"prb_smoke_512_ms": prb512_ms} if prb512_ms else {}),
+            }
             print(
-                f"prb smoke 512^2x1spp: {prb512_ms:.0f} ms", file=sys.stderr
+                f"prb smoke 256^2x1spp: {prb_s * 1e3:.0f} ms "
+                f"({prb_mrays:.2f} Mrays/s primary)",
+                file=sys.stderr,
             )
-        prb_stats = {
-            "prb_smoke_256_ms": round(prb_s * 1e3, 1),
-            "prb_smoke_mrays": round(prb_mrays, 3),
-            **({"prb_smoke_512_ms": prb512_ms} if prb512_ms else {}),
-        }
-        print(
-            f"prb smoke 256^2x1spp: {prb_s * 1e3:.0f} ms "
-            f"({prb_mrays:.2f} Mrays/s primary)",
-            file=sys.stderr,
-        )
+        except Exception as e:  # keep the headline metric alive
+            print(f"prb smoke metric failed: {e}", file=sys.stderr)
 
     # ---- truck-scale metric (BASELINE config #2 class: >=2M primitives) --
     scale_stats = {}
