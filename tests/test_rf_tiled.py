@@ -781,17 +781,23 @@ def test_cluster_sort_tracks_exact_better():
         use_clusters=True, cluster_size=16, backend="fused",
         feat_major=True, kernel_compact=True,
     )
-    img_exact = np.asarray(
-        rf_tiled.render(
-            s, cam,
-            rf_tiled.RFTiledConfig(
-                backend="xla", prim_resort=True,
-                **{k: v for k, v in kw.items()
-                   if k not in ("backend", "feat_major", "kernel_compact")},
-            ),
-            None, spp=1, seed=0, jitter=False,
-        )
+    # reference: the TRUE exact-order integrator (per-ray entry order) —
+    # an xla resort=True render would itself be center-depth-keyed and
+    # bias the comparison against the entry-keyed sort
+    from volprim_tpu.models import rf as rf_exact
+    from volprim_tpu import scene as vscene
+
+    o_r, d_r = vscene.generate_rays(cam, jitter=False)
+    ecfg = rf_exact.RFConfig(
+        max_depth=64, srgb_primitives=False, chunk_size=1024
     )
+    img_exact = np.asarray(
+        jax.jit(
+            lambda o_, d_: rf_exact.radiance(
+                s, None, o_, d_, ecfg, jax.random.PRNGKey(0)
+            )
+        )(o_r, d_r)
+    ).reshape(32, 32, 3)
 
     def psnr(a, b):
         return -10 * np.log10(np.mean((a - b) ** 2) + 1e-12)

@@ -637,8 +637,23 @@ def _render_tiles(
             s = ids.shape[1]
         if resort and not use_fused:
             depth = jnp.einsum("tsi,ti->ts", work.centers[ids] - origin, axis)
+            if resort in ("entry", "cluster-entry"):
+                # entry-biased key: center depth minus the ellipsoid's
+                # support along the tile axis (the exact integrator orders
+                # by ENTRY t, not center depth — probe for a better sort
+                # key). support = extent * ||diag(s) R^T a||.
+                from ..ops import quaternion
+
+                rot_g = quaternion.to_rotation_matrix(
+                    work.quats[ids.reshape(-1)]
+                ).reshape(ids.shape + (3, 3))  # [T, S, 3, 3]
+                ra_g = jnp.einsum("tsji,tj->tsi", rot_g, axis)
+                sup = float(work.extent) * jnp.sqrt(
+                    jnp.sum((work.scales[ids] * ra_g) ** 2, axis=-1)
+                )
+                depth = depth - sup
             depth = jnp.where(valid, depth, jnp.inf)
-            if resort == "cluster":
+            if resort in ("cluster", "cluster-entry"):
                 # intra-cluster depth sort only: keeps the cluster-gather
                 # stream order (what the fused path walks) but fixes the
                 # arbitrary Morton order WITHIN each cs-block — the probe
@@ -677,15 +692,12 @@ def _render_tiles(
             # blocks directly
             ptab_rows = ptab.reshape(16, ncl, cs)
             if cfg.cluster_sort:
-                # order each cluster's columns by camera distance (w =
-                # o - c at rows 9-11); one global permute serves every
-                # tile's gathers
-                w2 = (
-                    ptab_rows[9] ** 2
-                    + ptab_rows[10] ** 2
-                    + ptab_rows[11] ** 2
-                )  # [Ncl, cs]
-                order = jnp.argsort(w2, axis=-1)
+                # order each cluster's columns by the ENTRY-distance key
+                # (pack row 15: |w| - support along w_hat; the exact
+                # integrator composites by entry t, and the entry key
+                # measured +0.2-0.3 dB over center distance); one global
+                # permute serves every tile's gathers
+                order = jnp.argsort(ptab_rows[15], axis=-1)
                 ptab_rows = jnp.take_along_axis(
                     ptab_rows, order[None], axis=2
                 )
@@ -787,12 +799,10 @@ def _render_tiles(
                 # (w = o - c lives at rows 9:12 — no extra gathers); the
                 # tile axis approximates every ray's direction
                 if cfg.feat_major:
-                    depth = -(
-                        pf_t[9] * ax_b[:, 0:1]
-                        + pf_t[10] * ax_b[:, 1:2]
-                        + pf_t[11] * ax_b[:, 2:3]
-                    )
-                    depth = jnp.where(valid_row, depth, jnp.inf)
+                    # entry-distance key (pack row 15) — per-prim exact
+                    # camera direction, entry-biased (beats the shared
+                    # tile-axis center depth on the probe)
+                    depth = jnp.where(valid_row, pf_t[15], jnp.inf)
                     order = jnp.argsort(depth, axis=-1)
                     pf_t = jnp.take_along_axis(
                         pf_t, order[None, :, :], axis=2
@@ -801,12 +811,7 @@ def _render_tiles(
                         sh_t, order[None, :, :], axis=2
                     )
                 else:
-                    depth = -(
-                        pf_t[:, 9] * ax_b[:, 0:1]
-                        + pf_t[:, 10] * ax_b[:, 1:2]
-                        + pf_t[:, 11] * ax_b[:, 2:3]
-                    )
-                    depth = jnp.where(valid_row, depth, jnp.inf)
+                    depth = jnp.where(valid_row, pf_t[:, 15], jnp.inf)
                     order = jnp.argsort(depth, axis=-1)
                     pf_t = jnp.take_along_axis(
                         pf_t, order[:, None, :], axis=2
