@@ -58,6 +58,8 @@ CONFIGS = {
     "ceiling": dict(gc=0, mc=65536, resort=True, md=MD_REF),
     "ordering": dict(gc=0, mc=65536, resort=False, md=MD_REF),
     "csort": dict(gc=0, mc=65536, resort="cluster", md=MD_REF),
+    "csort-entry": dict(gc=0, mc=65536, resort="cluster-entry", md=MD_REF),
+    "entry": dict(gc=0, mc=65536, resort="entry", md=MD_REF),
     "budget": dict(gc=0, mc=2048, resort=False, md=MD_REF),
     "pool": dict(gc=4, mc=2048, resort=False, md=MD_REF),
     "pool-hi": dict(gc=4, mc=8192, resort=False, md=MD_REF),
