@@ -37,6 +37,18 @@ parser.add_argument("--max_depth", type=int, default=128)
 parser.add_argument("--rr_depth", type=int, default=128)
 parser.add_argument("--kernel", type=str, default="gaussian")
 parser.add_argument("--white_background", action="store_true")
+parser.add_argument(
+    "--renderer", choices=("exact", "tiled"), default="exact",
+    help="'exact' = per-ray entry-order integrator (reference semantics); "
+    "'tiled' = the tile-culled fast path (fused Pallas kernel on TPU, "
+    "XLA elsewhere; 3DGS-raster-class ordering, see BENCH_DETAILS.json "
+    "for the measured agreement)",
+)
+parser.add_argument(
+    "--cluster_sort", action="store_true",
+    help="tiled only: pack-time intra-cluster entry-depth sort "
+    "(+~0.7 dB vs exact order at the bench scale for ~1-2 ms/frame)",
+)
 args = parser.parse_args()
 
 scene = vp.scene.load_ply(args.ply)
@@ -57,13 +69,40 @@ emitter = (
     else None
 )
 
-render = jax.jit(
-    lambda prims: vp.models.render(
-        prims, camera, rf.radiance, cfg, emitter, spp=args.spp, seed=0
+if args.renderer == "tiled":
+    from volprim_tpu.models import rf_tiled
+
+    # largest <=16 divisors keep tiles square-ish on any film size
+    th = max(d for d in range(1, 17) if camera.height % d == 0)
+    tw = max(d for d in range(1, 17) if camera.width % d == 0)
+    on_tpu = jax.default_backend() == "tpu"
+    tcfg = rf_tiled.RFTiledConfig(
+        max_depth=args.max_depth, kernel_type=args.kernel,
+        tile_pixels=th * tw, tile_shape=(th, tw),
+        max_candidates=2048, segment=256, cluster_size=16,
+        use_clusters=True, early_exit=True,
+        backend="fused" if on_tpu else "xla",
+        kernel_compact=on_tpu, feat_major=on_tpu,
+        cluster_sort=on_tpu and args.cluster_sort,
+        coarse_group=4, coarse_factor=8, super_group=4,
+        kernel_batch=4,
     )
-)
-with vp.benchmark.single_run("Rendering"):
-    img = render(scene)
+    state = jax.jit(lambda p: rf_tiled.build_state(p, tcfg))(scene)
+    render = jax.jit(
+        lambda st: rf_tiled.render_state(
+            st, camera, tcfg, emitter, spp=args.spp, seed=0
+        )
+    )
+    with vp.benchmark.single_run("Rendering (tiled)"):
+        img = render(state)
+else:
+    render = jax.jit(
+        lambda prims: vp.models.render(
+            prims, camera, rf.radiance, cfg, emitter, spp=args.spp, seed=0
+        )
+    )
+    with vp.benchmark.single_run("Rendering"):
+        img = render(scene)
 
 os.makedirs(args.output, exist_ok=True)
 out = os.path.join(args.output, "output.exr")

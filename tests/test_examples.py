@@ -56,6 +56,17 @@ def test_render_3dg_asset_cli(tmp_path):
     assert img.shape == (32, 48, 3)
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+    # the tiled fast path through the same CLI tracks the exact render
+    out2 = str(tmp_path / "out_tiled")
+    _run_cli(
+        "render_3dg_asset.py",
+        ["--ply", ply, "--cameras", cams, "--output", out2, "--spp", "1",
+         "--max_depth", "32", "--renderer", "tiled"],
+    )
+    img2 = vp.utils.image.read_exr(os.path.join(out2, "output.exr"))
+    assert np.isfinite(img2).all()
+    mse = float(np.mean((img2 - img) ** 2))
+    assert -10 * np.log10(mse + 1e-12) > 25.0
 
 
 def test_render_volume_cli(tmp_path):
