@@ -879,7 +879,7 @@ def test_cluster_resort_probe_order_independent_limit():
         cluster_size=16, backend="xla", coarse_group=0,
     )
     imgs = {}
-    for rs in (False, "cluster", True):
+    for rs in (False, "cluster", "cluster-entry", "entry", True):
         imgs[rs] = np.asarray(
             rf_tiled.render(
                 lo, cam, rf_tiled.RFTiledConfig(prim_resort=rs, **kw),
@@ -888,6 +888,9 @@ def test_cluster_resort_probe_order_independent_limit():
         )
     # second-order (alpha^2) terms + f32 summation order bound the
     # agreement; first-order magnitudes here are ~1e-3
+    for rs in ("cluster-entry", "entry"):
+        np.testing.assert_allclose(imgs[rs], imgs[False], rtol=2e-3,
+                                   atol=1e-6, err_msg=rs)
     np.testing.assert_allclose(imgs["cluster"], imgs[False], rtol=2e-3,
                                atol=1e-6)
     np.testing.assert_allclose(imgs["cluster"], imgs[True], rtol=2e-3,
