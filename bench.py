@@ -408,7 +408,14 @@ def bench_prb_cluster_1m(jax, jnp, vp):
     # t_budget bound is tighter than brute's): among rays neither path
     # killed, found-agreement measured exactly 1.0 on a 157x-overlapped
     # stress scene. Report both.
-    live = ~np.asarray(d_cl) & ~np.asarray(d_br)
+    d_cl_np, d_br_np = np.asarray(d_cl), np.asarray(d_br)
+    live = ~d_cl_np & ~d_br_np
+    # Budget-kill fractions are first-class metrics (round-3 verdict #7):
+    # a silent growth in kill rate would otherwise be invisible behind the
+    # live-ray agreement number.
+    kill_cl = float(d_cl_np.mean())
+    kill_br = float(d_br_np.mean())
+    kill_disagree = float((d_cl_np != d_br_np).mean())
     agree_found = float((f_cl == f_br).mean())
     agree_live = (
         float((f_cl == f_br)[live].mean()) if live.any() else 1.0
@@ -432,8 +439,9 @@ def bench_prb_cluster_1m(jax, jnp, vp):
     print(
         f"prb 1M-prim free flight ({n} prims, {r} rays): cluster path"
         f" {ms_cl:.0f} ms vs brute scan {ms_br:.0f} ms; found-agreement"
-        f" {agree_found:.1%} (live rays: {agree_live:.1%}), max rel t diff"
-        f" {t_rel:.2e}",
+        f" {agree_found:.1%} (live rays: {agree_live:.1%}), kill frac"
+        f" cluster {kill_cl:.2%} / brute {kill_br:.2%} (disagree"
+        f" {kill_disagree:.2%}), max rel t diff {t_rel:.2e}",
         file=sys.stderr,
     )
     return {
@@ -441,6 +449,9 @@ def bench_prb_cluster_1m(jax, jnp, vp):
         "prb_1M_brute_ms": round(ms_br, 1),
         "prb_1M_found_agreement": round(agree_found, 4),
         "prb_1M_live_agreement": round(agree_live, 4),
+        "prb_1M_kill_frac_cluster": round(kill_cl, 4),
+        "prb_1M_kill_frac_brute": round(kill_br, 4),
+        "prb_1M_kill_disagreement": round(kill_disagree, 4),
         "prb_1M_t_rel_diff": float(f"{t_rel:.3e}"),
     }
 

@@ -472,7 +472,7 @@ def render_state(
     if mesh is None:
         acc = frame(state, emitter, px0, py0, tile_ids, base_key)
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axis = mesh.axis_names[0]
@@ -483,7 +483,7 @@ def render_state(
             frame, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
             out_specs=P(axis),
-            check_rep=False,
+            check_vma=False,
         )(state, emitter, px0, py0, tile_ids, base_key)
     img = (
         acc.reshape(n_gy, n_gx, gb_y, gb_x, th, tw, 3)

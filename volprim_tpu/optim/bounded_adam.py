@@ -60,8 +60,8 @@ class BoundedAdam:
     def set_bounds(self, key: str, lower: float = None, upper: float = None):
         """optimizers.py:65-70."""
         assert lower is None or upper is None or lower < upper, (
-            "Upper bound should be higher than lower bound! "
-            "Did you mix the argument order?"
+            f"set_bounds({key!r}): lower ({lower}) must be < upper ({upper}); "
+            "check the argument order"
         )
         self.bounds[key] = (upper, lower)
 
