@@ -895,3 +895,77 @@ def test_cluster_resort_probe_order_independent_limit():
                                atol=1e-6)
     np.testing.assert_allclose(imgs["cluster"], imgs[True], rtol=2e-3,
                                atol=1e-6)
+
+
+def test_order_band_full_segment_matches_exact_order():
+    """With a single segment and band = segment - 1 every pair is
+    corrected, so the banded composite equals the fully per-ray-SORTED
+    composite — which is what the exact integrator (models/rf.py,
+    entry-t ordered march per volprim_rf.py:124-146) computes. Residual
+    difference is f32 summation order + the slightly different
+    saturation-kill rule, so compare by (high) PSNR."""
+    s = surface_scene(200, seed=11)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    o, d = scene.generate_rays(cam, jitter=False)
+    cfg_exact = rf.RFConfig(
+        max_depth=256, srgb_primitives=False, chunk_size=256
+    )
+    img_exact = np.asarray(
+        rf.radiance(s, None, o, d, cfg_exact, jax.random.PRNGKey(0))
+    ).reshape(32, 32, 3)
+    kw = dict(
+        max_depth=512, srgb_primitives=False, tile_pixels=256,
+        max_candidates=256, segment=256, use_clusters=False,
+        backend="xla",
+    )
+    def psnr_vs_exact(band):
+        img = np.asarray(rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(order_band=band, **kw), None,
+            spp=1, seed=0, jitter=False,
+        ))
+        assert np.isfinite(img).all()
+        mse = np.mean((img - img_exact) ** 2)
+        return -10 * np.log10(max(mse, 1e-12))
+
+    p0 = psnr_vs_exact(0)
+    p_full = psnr_vs_exact(255)
+    assert p_full > 50.0, f"full-band vs exact PSNR {p_full:.2f} dB"
+    assert p_full > p0 + 5.0, f"band 255 {p_full:.2f} <= band 0 {p0:.2f}"
+
+
+def test_order_band_monotone_quality():
+    """Growing the band corrects strictly more inversions: PSNR vs exact
+    must improve monotonically (by a margin at the first step) on the
+    dense cluster scene where the stream order is the binding error."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    o, d = scene.generate_rays(cam, jitter=False)
+    cfg_exact = rf.RFConfig(
+        max_depth=512, srgb_primitives=False, chunk_size=1024
+    )
+    img_exact = np.asarray(
+        rf.radiance(s, None, o, d, cfg_exact, jax.random.PRNGKey(0))
+    ).reshape(32, 32, 3)
+    kw = dict(
+        max_depth=512, srgb_primitives=False, tile_pixels=256,
+        max_candidates=6400, segment=256, use_clusters=True,
+        cluster_size=16, backend="xla", prim_resort=False,
+    )
+    ps = {}
+    for band in (0, 16, 64):
+        img = np.asarray(rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(order_band=band, **kw), None,
+            spp=1, seed=0, jitter=False,
+        ))
+        mse = np.mean((img - img_exact) ** 2)
+        ps[band] = -10 * np.log10(max(mse, 1e-12))
+    assert ps[16] > ps[0] + 1.0, ps
+    assert ps[64] > ps[16], ps

@@ -146,6 +146,22 @@ class RFTiledConfig:
     # in-kernel compaction preserves stream order, so the sort survives
     # kernel_compact.
     cluster_sort: bool = False
+    # Per-ray banded order correction (round-4 quality mode): composite
+    # with the transmittance prefix CORRECTED by comparing each pair's
+    # per-ray entry distance within a +-order_band window of the stream —
+    # for stream positions i < j with t_entry[j] < t_entry[i], j's
+    # (1 - alpha) moves from i's suffix into i's prefix and drops out of
+    # j's. Exact (equals the fully per-ray-sorted composite) whenever
+    # every inversion spans <= order_band stream slots; after
+    # cluster_sort the residual inversions sit at cluster boundaries, so
+    # a band of ~0.5-1x cluster_size captures most of them. Pure
+    # elementwise compares/selects (no per-ray sort, no data-dependent
+    # control flow); a [RT, band] tail carries comparisons across
+    # segment boundaries. 0 disables. This is the per-ray route past the
+    # shared-axis ordering ceiling (~31.1 dB at 262k / ~25.9 dB at 2M);
+    # the reference composites every ray in exact depth order via its
+    # BVH march (volprim_rf.py:124-146).
+    order_band: int = 0
 
     @property
     def kernel(self) -> Kernel:
@@ -316,6 +332,8 @@ def _composite_tile_xla(
     hp = jax.lax.Precision.HIGHEST
     e2 = extent * extent
 
+    band = min(int(cfg.order_band), c - 1)  # offsets beyond the segment are empty
+
     def seg_step(carry, si):
         l_acc, beta, count = carry
         sl = jax.lax.dynamic_slice_in_dim
@@ -345,6 +363,47 @@ def _composite_tile_xla(
         excl = jnp.concatenate(
             [jnp.ones((rt, 1), cp.dtype), cp[:, :-1]], axis=-1
         )
+        if band > 0:
+            # Banded per-ray order correction (cfg.order_band docstring):
+            # entry-keyed, because the exact integrator composites by
+            # entry t. Dead columns (alpha = 0) carry trans = 1, so their
+            # moves are no-ops regardless of their (garbage) t key. Ties
+            # and pairs beyond the band keep stream order. The band is
+            # strictly INTRA-segment: a pair straddling the segment
+            # boundary would get only the later column's (backward)
+            # half-correction — the earlier column's weight is already
+            # emitted — and an inverted pair corrected on one side only
+            # OVERCOUNTS (both columns composite as if in front of the
+            # other); measured, that half-correction LOSES dB
+            # monotonically with band size. Boundary pairs therefore
+            # keep consistent stream order (both sides padded inert).
+            # Interleaved mul/div keeps the running value near its true
+            # <= 1 magnitude (trans >= 1e-4, one guarded step each way).
+            tkey = jnp.where(alpha > 0.0, t_near, jnp.inf)
+            inf_b = jnp.full((rt, 1), jnp.inf, tkey.dtype)
+            one_b = jnp.ones((rt, 1), trans.dtype)
+            for s_ in range(1, band + 1):
+                # j = i + s later in stream but nearer: joins i's prefix
+                t_f = jnp.concatenate(
+                    [tkey[:, s_:], jnp.broadcast_to(inf_b, (rt, s_))], axis=1
+                )
+                tr_f = jnp.concatenate(
+                    [trans[:, s_:], jnp.broadcast_to(one_b, (rt, s_))], axis=1
+                )
+                excl = excl * jnp.where(t_f < tkey, tr_f, 1.0)
+                # j = i - s earlier in stream but farther: leaves i's
+                # prefix (pad head with -inf keys: never "farther")
+                t_b = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(-inf_b, (rt, s_)),
+                        tkey[:, :c - s_],
+                    ], axis=1
+                )
+                tr_b = jnp.concatenate(
+                    [jnp.broadcast_to(one_b, (rt, s_)), trans[:, :c - s_]],
+                    axis=1,
+                )
+                excl = excl / jnp.where(t_b > tkey, tr_b, 1.0)
         weight = beta[:, None] * excl * alpha
         weight = jnp.where(beta[:, None] * excl > cfg.beta_kill, weight, 0.0)
 
@@ -367,20 +426,18 @@ def _composite_tile_xla(
     if cfg.early_exit:
 
         def cond(state):
-            si, (_, beta, _) = state
-            return (si < n_seg) & jnp.any(beta > cfg.beta_kill)
+            si, carry = state
+            return (si < n_seg) & jnp.any(carry[1] > cfg.beta_kill)
 
         def body(state):
             si, carry = state
             carry, _ = seg_step(carry, si)
             return si + 1, carry
 
-        _, (l_acc, beta, _) = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), init)
-        )
+        _, fin = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
     else:
-        (l_acc, beta, _), _ = jax.lax.scan(seg_step, init, jnp.arange(n_seg))
-    return l_acc, beta
+        fin, _ = jax.lax.scan(seg_step, init, jnp.arange(n_seg))
+    return fin[0], fin[1]
 
 
 def render_state(
