@@ -969,3 +969,85 @@ def test_order_band_monotone_quality():
         ps[band] = -10 * np.log10(max(mse, 1e-12))
     assert ps[16] > ps[0] + 1.0, ps
     assert ps[64] > ps[16], ps
+
+
+def test_order_band_fused_matches_xla():
+    """The in-kernel banded order correction (log-space, pltpu.roll) must
+    match the xla compositor's mul/div form on the identical cluster-order
+    stream — including under kernel_compact, where the correction applies
+    to the compacted stream. A handful of near-tie pairs may flip between
+    the two t_near roundings (closest-approach vs c - b^2/a form), so
+    compare by PSNR rather than allclose, and require the quality GAIN
+    (vs the exact integrator) that band 16 buys on the xla path."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    o, d = scene.generate_rays(cam, jitter=False)
+    img_exact = np.asarray(
+        rf.radiance(
+            s, None, o, d,
+            rf.RFConfig(max_depth=512, srgb_primitives=False,
+                        chunk_size=1024),
+            jax.random.PRNGKey(0),
+        )
+    ).reshape(32, 32, 3)
+    kw = dict(
+        max_depth=512, srgb_primitives=False,
+        tile_pixels=256, max_candidates=2048, segment=256, tile_group=2,
+        use_clusters=True, cluster_size=16,
+    )
+
+    def psnr(a, b):
+        return -10 * np.log10(max(np.mean((a - b) ** 2), 1e-12))
+
+    imgs = {}
+    for name, cfg in {
+        "xla16": rf_tiled.RFTiledConfig(
+            prim_resort=False, order_band=16, backend="xla", **kw),
+        "f0": rf_tiled.RFTiledConfig(backend="fused", order_band=0, **kw),
+        "f16": rf_tiled.RFTiledConfig(backend="fused", order_band=16, **kw),
+        "fc16": rf_tiled.RFTiledConfig(
+            backend="fused", order_band=16, kernel_compact=True, **kw),
+    }.items():
+        imgs[name] = np.asarray(
+            rf_tiled.render(s, cam, cfg, None, spp=1, seed=0, jitter=False)
+        )
+        assert np.isfinite(imgs[name]).all(), name
+    # same correction, two roundings: images nearly identical
+    assert psnr(imgs["f16"], imgs["xla16"]) > 45.0
+    # the correction must buy quality vs exact in-kernel too
+    p0, p16 = psnr(imgs["f0"], img_exact), psnr(imgs["f16"], img_exact)
+    assert p16 > p0 + 1.0, (p0, p16)
+    # compact drops only guaranteed-no-hit columns: band interacts only
+    # through segment boundaries of the compacted stream
+    assert psnr(imgs["fc16"], img_exact) > p0 + 1.0
+
+
+def test_order_band_fused_grad_raises():
+    """order_band is a render-time quality mode: the fused backward kernel
+    has no banded adjoint and must fail loudly, not silently mis-train."""
+    s = surface_scene(800, seed=5)
+    cam = scene.CameraSpecs(
+        name="c", width=16, height=16,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    cfg = rf_tiled.RFTiledConfig(
+        max_depth=64, srgb_primitives=False, tile_pixels=256,
+        max_candidates=1024, segment=256, use_clusters=True,
+        cluster_size=16, backend="fused", order_band=8,
+    )
+
+    def loss(opac):
+        s2 = scene.EllipsoidScene(
+            s.centers, s.scales, s.quats,
+            {**s.attrs, "opacities": opac}, s.extent,
+        )
+        img = rf_tiled.render(s2, cam, cfg, None, spp=1, jitter=False)
+        return jnp.sum(img)
+
+    with pytest.raises(NotImplementedError, match="order_band"):
+        jax.grad(loss)(s.attrs["opacities"])

@@ -160,7 +160,13 @@ class RFTiledConfig:
     # segment boundaries. 0 disables. This is the per-ray route past the
     # shared-axis ordering ceiling (~31.1 dB at 262k / ~25.9 dB at 2M);
     # the reference composites every ray in exact depth order via its
-    # BVH march (volprim_rf.py:124-146).
+    # BVH march (volprim_rf.py:124-146). Supported by the 'xla' backend
+    # (plain-AD differentiable) and the 'fused' kernel (log-space
+    # pltpu.roll form; render/forward only — the backward kernel has no
+    # banded adjoint and raises). With kernel_compact the band applies
+    # to the compacted stream. NOTE (TPU cost): order_band > 0 is a NEW
+    # Mosaic kernel variant per (class tile-count, S) pair — warm it
+    # deliberately, never right before a driver bench.
     order_band: int = 0
 
     @property
@@ -953,6 +959,7 @@ def _render_tiles(
                     kb,
                     cfg.kernel_compact,
                     cfg.feat_major,
+                    int(cfg.order_band),
                 )
                 if emitter is not None:
                     d = jnp.stack([dnx, dny, dnz], axis=-1)

@@ -497,7 +497,7 @@ def _fwd3_kernel(
     nseg_ref, md_ref, d_ref, pf_ref, sh_ref, ut_ref, out_ref, scr_pf=None,
     scr_sh=None,
     *, n_seg, seg, extent2, beta_kill, degree, sh_k, early_exit,
-    stable_q=True, batch=1, compact=False, feat_major=False,
+    stable_q=True, batch=1, compact=False, feat_major=False, order_band=0,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
@@ -538,7 +538,7 @@ def _fwd3_kernel(
             else:
                 pfT = pf_ref[b, :, sl]  # [16, C] — native transposed layout
             # shared pair math: the backward sweep recomputes exactly this
-            _, _, _, _, _, q_min, hit, opac, _ = _fwd3_core(
+            a_, _, t_peak, _, _, q_min, hit, opac, _ = _fwd3_core(
                 pfT, f6, d3, dx, dy, dz, e2h, stable_q
             )
             if "notrans" in _ABL:
@@ -576,6 +576,36 @@ def _fwd3_kernel(
                     lt_hi, ut, seg
                 ) + _cumsum_blocked(logt - lt_hi, ut, seg)
             cs_excl = cs_incl - logt
+            if order_band > 0:
+                # Banded per-ray order correction (quality mode; mirrors
+                # rf_tiled._composite_tile_xla's order_band, see the
+                # RFTiledConfig docstring): additive in LOG space — for
+                # stream pairs i < j with entry t_j < t_i, j's logt moves
+                # from i's suffix into i's prefix and out of j's. Dead
+                # columns (alpha = 0) carry logt = 0, so their moves are
+                # no-ops regardless of their (garbage / NaN) key — NaN
+                # keys compare false and contribute 0. Strictly intra-
+                # segment (cross-boundary half-corrections overcount;
+                # measured monotonically worse). The key is the entry
+                # distance (the exact integrator composites by entry t);
+                # Mosaic's ~2^-12 sqrt only flips near-tie pairs whose
+                # order is immaterial. Wrapped lanes are masked by iota.
+                disc_b = jnp.maximum(e2h - q_min, 0.0)
+                tkey = t_peak - jnp.sqrt(disc_b / a_)
+                lane = jax.lax.broadcasted_iota(jnp.int32, tkey.shape, 1)
+                corr = jnp.zeros_like(logt)
+                for s_ in range(1, order_band + 1):
+                    t_f = pltpu.roll(tkey, seg - s_, 1)
+                    l_f = pltpu.roll(logt, seg - s_, 1)
+                    corr = corr + jnp.where(
+                        (lane < seg - s_) & (t_f < tkey), l_f, 0.0
+                    )
+                    t_b = pltpu.roll(tkey, s_, 1)
+                    l_b = pltpu.roll(logt, s_, 1)
+                    corr = corr - jnp.where(
+                        (lane >= s_) & (t_b > tkey), l_b, 0.0
+                    )
+                cs_excl = cs_excl + corr
             lw = log_beta + cs_excl
             if "notrans" in _ABL:
                 w_ = jnp.where(lw > log_kill, (1.0 + lw) * alpha, 0.0)
@@ -736,6 +766,7 @@ def _fwd3_kernel(
     static_argnames=(
         "seg", "extent2", "max_depth", "beta_kill", "degree", "sh_k",
         "early_exit", "stable_q", "interpret", "batch", "compact",
+        "order_band",
     ),
 )
 def composite_tiles3(
@@ -764,6 +795,7 @@ def composite_tiles3(
     batch: int = 1,
     compact: bool = False,
     feat_major: bool = False,
+    order_band: int = 0,
 ):
     """Fused forward compositor. Returns (L [T, RT, 3], beta [T, RT]).
 
@@ -784,7 +816,7 @@ def composite_tiles3(
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch, compact,
-        feat_major,
+        feat_major, order_band,
     )
     return out[..., :3], out[..., 3]
 
@@ -1129,7 +1161,7 @@ def _bwd3_subtile(
 
 def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
               degree, sh_k, early_exit, stable_q, interpret, batch=1,
-              compact=False, feat_major=False):
+              compact=False, feat_major=False, order_band=0):
     t = d8.shape[0]
     rt = d8.shape[2]
     s = pf.shape[2]
@@ -1150,7 +1182,7 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         n_seg=n_seg, seg=seg, extent2=extent2,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, early_exit=early_exit,
         stable_q=stable_q, batch=batch, compact=compact,
-        feat_major=feat_major,
+        feat_major=feat_major, order_band=order_band,
     )
     scratch_shapes = []
     if compact:
@@ -1199,39 +1231,49 @@ def _forward3(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16),
 )
 def composite_tiles3_ad(
     d8, pf, sh3, n_seg_t,
     seg: int, extent2: float, max_depth: int, beta_kill: float,
     degree: int, sh_k: int, early_exit: bool, stable_q: bool,
     interpret: bool, batch: int = 1, compact: bool = False,
-    feat_major: bool = False,
+    feat_major: bool = False, order_band: int = 0,
 ):
     """Differentiable fused compositor (forward = composite_tiles3; custom
     backward kernel). Gradients flow into pf and sh3; d8 / n_seg_t get
-    zeros."""
+    zeros. order_band > 0 (the banded per-ray order correction) is a
+    forward/render quality mode: the backward kernel does not implement
+    the banded adjoint yet and raises."""
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch, compact,
-        feat_major,
+        feat_major, order_band,
     )
     return out[..., :3], out[..., 3]
 
 
 def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
                degree, sh_k, early_exit, stable_q, interpret, batch=1,
-               compact=False, feat_major=False):
+               compact=False, feat_major=False, order_band=0):
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch, compact,
-        feat_major,
+        feat_major, order_band,
     )
     return (out[..., :3], out[..., 3]), (d8, pf, sh3, n_seg_t)
 
 
 def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
-               stable_q, interpret, batch, compact, feat_major, res, cts):
+               stable_q, interpret, batch, compact, feat_major, order_band,
+               res, cts):
+    if order_band:
+        raise NotImplementedError(
+            "order_band > 0 is a render-time quality mode: the fused "
+            "backward kernel has no banded-order adjoint. Train with "
+            "order_band=0 (the 0.39 dB converged-quality cost of the "
+            "stream order is measured in tools/convergence_eval.py)."
+        )
     d8, pf, sh3, n_seg_t = res
     g_l, g_beta = cts
     t = d8.shape[0]
