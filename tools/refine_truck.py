@@ -119,10 +119,10 @@ for i, cam in enumerate(cams_train + cams_test):
 op = np.asarray(scene_true.attrs["opacities"])
 sh = np.asarray(scene_true.attrs["sh_coeffs"])
 op_p = np.clip(
-    op * rng.uniform(0.35, 1.0, op.shape).astype(np.float32), 1e-4, 0.995
+    op * rng.uniform(0.15, 0.9, op.shape).astype(np.float32), 1e-4, 0.995
 )
-sh_p = sh * rng.uniform(0.4, 1.1, sh.shape).astype(np.float32) \
-    + rng.normal(0, 0.12, sh.shape).astype(np.float32)
+sh_p = sh * rng.uniform(0.2, 1.0, sh.shape).astype(np.float32) \
+    + rng.normal(0, 0.25, sh.shape).astype(np.float32)
 scene_init = EllipsoidScene(
     centers=scene_true.centers, scales=scene_true.scales,
     quats=scene_true.quats,
@@ -204,6 +204,11 @@ block = {
     "train_wall_s": round(train_s, 1),
     "total_wall_s": round(time.time() - t_all, 1),
 }
-with open(os.path.join(_repo, "REFINE_TRUCK.json"), "w") as f:
+# tiny mode is a smoke test: keep its numbers out of the ledgered block
+out_json = (
+    os.path.join(args.workdir, "REFINE_TRUCK.json") if args.tiny
+    else os.path.join(_repo, "REFINE_TRUCK.json")
+)
+with open(out_json, "w") as f:
     json.dump(block, f, indent=1)
 print(f"[refine_truck] {json.dumps(block)}", flush=True)
