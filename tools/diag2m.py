@@ -66,6 +66,17 @@ CONFIGS = {
     "mc16k": dict(gc=0, mc=16384, resort=False, md=MD_REF),
     "mc32k": dict(gc=0, mc=32768, resort=False, md=MD_REF),
     "mc64k": dict(gc=0, mc=65536, resort=False, md=MD_REF),
+    # banded per-ray order correction (order_band): the route PAST the
+    # ~25.9 dB shared-axis ceiling — per-RAY entry-order fixes within a
+    # +-band window of the stream (round 4)
+    "csort-band16": dict(
+        gc=0, mc=65536, resort="cluster-entry", md=MD_REF, band=16
+    ),
+    "csort-band64": dict(
+        gc=0, mc=65536, resort="cluster-entry", md=MD_REF, band=64
+    ),
+    "band64": dict(gc=0, mc=65536, resort=False, md=MD_REF, band=64),
+    "band255": dict(gc=0, mc=65536, resort=False, md=MD_REF, band=255),
 }
 
 
@@ -174,7 +185,7 @@ def main():
             segment=min(256, p["mc"]), cluster_size=16, backend="xla",
             coarse_group=p["gc"], coarse_factor=8, super_group=4,
             refine_fraction=0.0, prim_resort=p["resort"],
-            srgb_primitives=True,
+            srgb_primitives=True, order_band=p.get("band", 0),
         )
         state = jax.jit(lambda pr: rf_tiled.build_state(pr, cfg))(scene)
         img = rf_tiled.render_state(

@@ -832,7 +832,7 @@ def _bwd3_kernel(
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch, scr_pf=None, scr_sh=None,
     gscr_pf=None, gscr_sh=None,
     *, n_seg, seg, extent2, beta_kill, degree, sh_k, stable_q,
-    batch=1, compact=False, feat_major=False,
+    batch=1, compact=False, feat_major=False, order_band=0,
 ):
     """Two-sweep backward for the fused compositor: a forward sweep stores
     the per-segment (log_beta, count) carries, then a reverse sweep
@@ -857,7 +857,7 @@ def _bwd3_kernel(
             n_seg=n_seg, seg=seg, extent2=extent2,
             beta_kill=beta_kill, degree=degree, sh_k=sh_k,
             stable_q=stable_q, batch=batch, compact=compact,
-            feat_major=feat_major,
+            feat_major=feat_major, order_band=order_band,
         )
 
 
@@ -866,7 +866,7 @@ def _bwd3_subtile(
     gpf_ref, gsh_ref, lb_scratch, cnt_scratch, sb,
     scr_pf=None, scr_sh=None, gscr_pf=None, gscr_sh=None,
     *, n_seg, seg, extent2, beta_kill, degree, sh_k, stable_q,
-    batch, compact=False, feat_major=False,
+    batch, compact=False, feat_major=False, order_band=0,
 ):
     rt = d_ref.shape[2]
     f32 = jnp.float32
@@ -955,6 +955,29 @@ def _bwd3_subtile(
             logt - lt_hi, ut, seg
         )
         cs_excl = cs_incl - logt
+        tkey = lane_b = None
+        if order_band > 0:
+            # recompute the forward's banded per-ray order correction
+            # (entry-distance keys; see _fwd3_kernel). The keys' own
+            # dependence on the primitive params has zero gradient a.e.
+            # (step-function indicators — same convention as sort order).
+            q_min_b = jnp.maximum(q_raw, 0.0)
+            disc_b = jnp.maximum(e2h - q_min_b, 0.0)
+            tkey = t_peak - jnp.sqrt(disc_b / a)
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, tkey.shape, 1)
+            corr = jnp.zeros_like(logt)
+            for s_ in range(1, order_band + 1):
+                t_f = pltpu.roll(tkey, seg - s_, 1)
+                l_f = pltpu.roll(logt, seg - s_, 1)
+                corr = corr + jnp.where(
+                    (lane_b < seg - s_) & (t_f < tkey), l_f, 0.0
+                )
+                t_b = pltpu.roll(tkey, s_, 1)
+                l_b = pltpu.roll(logt, s_, 1)
+                corr = corr - jnp.where(
+                    (lane_b >= s_) & (t_b > tkey), l_b, 0.0
+                )
+            cs_excl = cs_excl + corr
         lw = log_beta + cs_excl
         alive = lw > log_kill
         exp_lw = jnp.exp(lw)
@@ -1023,6 +1046,23 @@ def _bwd3_subtile(
             g_cs_incl, ut, (((1,), (1,)), ((), ())),
             precision=hp, preferred_element_type=f32,
         ) - g_cs_excl
+        if order_band > 0:
+            # banded-correction adjoint: corr_i sums +-logt_{i+-s} under
+            # entry-order indicators, so g_logt_j collects the TRANSPOSE —
+            # g_lw_i rolled to j = i + s where the forward condition held
+            # at i (and mirrored for the backward term). The where() masks
+            # zero the lanes that would wrap, so the rolls are safe.
+            for s_ in range(1, order_band + 1):
+                t_f = pltpu.roll(tkey, seg - s_, 1)
+                cf = (lane_b < seg - s_) & (t_f < tkey)
+                g_logt = g_logt + pltpu.roll(
+                    jnp.where(cf, g_lw, 0.0), s_, 1
+                )
+                t_b = pltpu.roll(tkey, s_, 1)
+                cb = (lane_b >= s_) & (t_b > tkey)
+                g_logt = g_logt - pltpu.roll(
+                    jnp.where(cb, g_lw, 0.0), seg - s_, 1
+                )
         g_alpha = jnp.where(alive, g_w * exp_lw, 0.0) + g_logt * (
             -1.0 / (1.0 - alpha)
         )
@@ -1242,9 +1282,10 @@ def composite_tiles3_ad(
 ):
     """Differentiable fused compositor (forward = composite_tiles3; custom
     backward kernel). Gradients flow into pf and sh3; d8 / n_seg_t get
-    zeros. order_band > 0 (the banded per-ray order correction) is a
-    forward/render quality mode: the backward kernel does not implement
-    the banded adjoint yet and raises."""
+    zeros. order_band > 0 (the banded per-ray order correction) is fully
+    differentiable: the backward kernel applies the transposed band
+    operator to the weight adjoints (the entry keys themselves are
+    step-function indicators — zero gradient a.e., like sort order)."""
     out = _forward3(
         d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
         degree, sh_k, early_exit, stable_q, interpret, batch, compact,
@@ -1267,13 +1308,6 @@ def _fwd3_rule(d8, pf, sh3, n_seg_t, seg, extent2, max_depth, beta_kill,
 def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
                stable_q, interpret, batch, compact, feat_major, order_band,
                res, cts):
-    if order_band:
-        raise NotImplementedError(
-            "order_band > 0 is a render-time quality mode: the fused "
-            "backward kernel has no banded-order adjoint. Train with "
-            "order_band=0 (the 0.39 dB converged-quality cost of the "
-            "stream order is measured in tools/convergence_eval.py)."
-        )
     d8, pf, sh3, n_seg_t = res
     g_l, g_beta = cts
     t = d8.shape[0]
@@ -1289,6 +1323,7 @@ def _bwd3_rule(seg, extent2, max_depth, beta_kill, degree, sh_k, early_exit,
         n_seg=n_seg, seg=seg, extent2=extent2,
         beta_kill=beta_kill, degree=degree, sh_k=sh_k, stable_q=stable_q,
         batch=batch, compact=compact, feat_major=feat_major,
+        order_band=order_band,
     )
     sh_nrows = sh3.shape[0] if feat_major else sh3.shape[1]
     if feat_major:
