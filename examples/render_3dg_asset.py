@@ -49,6 +49,13 @@ parser.add_argument(
     help="tiled only: pack-time intra-cluster entry-depth sort "
     "(+~0.7 dB vs exact order at the bench scale for ~1-2 ms/frame)",
 )
+parser.add_argument(
+    "--order_band", type=int, default=0,
+    help="tiled only: banded per-ray entry-order correction — fixes "
+    "stream-order inversions within +-band slots per ray (the route past "
+    "the shared-axis ordering ceiling; 8-16 with --cluster_sort recovers "
+    "most of the exact order). Extra per-pair cost ~ band/20 of the walk.",
+)
 args = parser.parse_args()
 
 scene = vp.scene.load_ply(args.ply)
@@ -84,6 +91,7 @@ if args.renderer == "tiled":
         backend="fused" if on_tpu else "xla",
         kernel_compact=on_tpu, feat_major=on_tpu,
         cluster_sort=on_tpu and args.cluster_sort,
+        order_band=args.order_band,
         coarse_group=4, coarse_factor=8, super_group=4,
         kernel_batch=4,
     )

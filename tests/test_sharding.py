@@ -95,11 +95,14 @@ def test_rf_tiled_sharded_bitmatches_single():
         fov=45.0,
     )
     mesh = parallel.data_mesh()
+    # order_band is pure per-tile math: the sharded frame must stay
+    # bitwise identical with the banded correction on, both backends
     for backend in ("xla", "fused"):
         cfg = rf_tiled.RFTiledConfig(
             max_depth=48, srgb_primitives=False,
             tile_pixels=256, max_candidates=512, segment=128, tile_group=2,
             use_clusters=True, cluster_size=32, backend=backend,
+            order_band=8,
         )
         state = rf_tiled.build_state(s, cfg)
         img1 = jax.jit(
