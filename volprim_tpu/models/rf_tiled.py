@@ -446,25 +446,13 @@ def _composite_tile_xla(
     return fin[0], fin[1]
 
 
-def render_state(
-    state: RFTiledState,
-    camera: CameraSpecs,
-    cfg: RFTiledConfig,
-    emitter=None,
-    spp: int = 1,
-    seed=0,
-    jitter: bool = True,
-    mesh=None,
-) -> jnp.ndarray:
-    """Render one camera from prepared state. Returns [H, W, 3].
-
-    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the tile axis is sharded
-    over the mesh's first axis via ``shard_map`` — the whole per-frame
-    pipeline (cull, gather, composite) is an independent map over tiles, so
-    devices never communicate until the caller reduces the image (SURVEY
-    §2.2 "rays/pixels/cameras sharded along data"). Images are bitwise
-    identical to the single-device render (per-tile RNG keys).
-    """
+def _tile_layout(camera: CameraSpecs, cfg: RFTiledConfig):
+    """Block-major tile grid for a camera: returns ``(px0, py0, tile_ids,
+    unshuffle)`` where ``px0/py0`` are [T, RT] pixel coordinates in coarse-
+    strip block-major order, and ``unshuffle(acc)`` folds a [T, RT, 3]
+    accumulator back into the [H, W, 3] film. Shared by :func:`render_state`
+    and the scaling diagnostics (tools/scaling_attrib.py), which time the
+    same per-tile frame function under different execution layouts."""
     h, w = camera.height, camera.width
     if cfg.tile_shape is not None:
         th, tw = cfg.tile_shape
@@ -480,8 +468,6 @@ def render_state(
     n_ty, n_tx = h // th, w // tw
     n_tiles = n_ty * n_tx
     rt = th * tw
-
-    basis_k = state.sh48.shape[1] and _basis_count(state)
 
     # Tile ordering: consecutive `coarse_group` tiles form one coarse cull
     # strip, so order tiles so each strip is a near-SQUARE gb_y x gb_x block
@@ -518,6 +504,40 @@ def render_state(
     ).reshape(n_tiles, rt).astype(jnp.float32)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 
+    def unshuffle(acc):
+        return (
+            acc.reshape(n_gy, n_gx, gb_y, gb_x, th, tw, 3)
+            .transpose(0, 2, 4, 1, 3, 5, 6)
+            .reshape(h, w, 3)
+        )
+
+    return px0, py0, tile_ids, unshuffle
+
+
+def render_state(
+    state: RFTiledState,
+    camera: CameraSpecs,
+    cfg: RFTiledConfig,
+    emitter=None,
+    spp: int = 1,
+    seed=0,
+    jitter: bool = True,
+    mesh=None,
+) -> jnp.ndarray:
+    """Render one camera from prepared state. Returns [H, W, 3].
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the tile axis is sharded
+    over the mesh's first axis via ``shard_map`` — the whole per-frame
+    pipeline (cull, gather, composite) is an independent map over tiles, so
+    devices never communicate until the caller reduces the image (SURVEY
+    §2.2 "rays/pixels/cameras sharded along data"). Images are bitwise
+    identical to the single-device render (per-tile RNG keys).
+    """
+    px0, py0, tile_ids, unshuffle = _tile_layout(camera, cfg)
+    n_tiles = px0.shape[0]
+
+    basis_k = state.sh48.shape[1] and _basis_count(state)
+
     from .base import _as_key
 
     base_key = _as_key(seed)
@@ -548,12 +568,7 @@ def render_state(
             out_specs=P(axis),
             check_vma=False,
         )(state, emitter, px0, py0, tile_ids, base_key)
-    img = (
-        acc.reshape(n_gy, n_gx, gb_y, gb_x, th, tw, 3)
-        .transpose(0, 2, 4, 1, 3, 5, 6)
-        .reshape(h, w, 3)
-    )
-    return img
+    return unshuffle(acc)
 
 
 def _render_tiles(
