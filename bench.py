@@ -815,6 +815,10 @@ def main():
                 # diagnostics: BENCH_PRB_NEE=0 ablates next-event estimation
                 # (shadow-ray transmittance) to attribute its cost share
                 use_nee=os.environ.get("BENCH_PRB_NEE", "1") != "0",
+                # BENCH_PRB_WALK=pallas: fused window-walk kernel
+                # (pallas_kernels/ffwalk.py; one Mosaic variant) — flip the
+                # default only after the queued profile_prb A/B wins
+                walk_backend=os.environ.get("BENCH_PRB_WALK", "xla"),
             )
             pj = jax.jit(
                 lambda p, s: vmodels.render(

@@ -38,6 +38,11 @@ parser.add_argument(
     "interval-need distribution (prb.suggest_budgets) instead of the "
     "defaults — the need-fit discipline of the rf budget ladder",
 )
+parser.add_argument(
+    "--walk_backend", type=str, default="xla", choices=["xla", "pallas"],
+    help="free-flight window-walk backend: 'pallas' runs the fused "
+    "VMEM-resident kernel (pallas_kernels/ffwalk.py)",
+)
 args = parser.parse_args()
 
 scene = vp.scene.load_ply(args.volume)
@@ -68,7 +73,9 @@ camera = vp.scene.CameraSpecs(
     fov=40.0,
 )
 
-cfg = prb.PRBConfig(max_depth=args.max_depth)
+cfg = prb.PRBConfig(
+    max_depth=args.max_depth, walk_backend=args.walk_backend
+)
 if args.auto_budget:
     o_c, d_c = vp.scene.generate_rays(camera, jitter=False)
     cfg = prb.suggest_budgets(scene, o_c, d_c, cfg)

@@ -81,6 +81,10 @@ def main():
 
     run_cfg("full (bench cfg)")
     if not args.quick:
+        # fused Pallas window walk (round 4, pallas_kernels/ffwalk.py):
+        # ONE Mosaic variant (statics: k, n_windows, solver); expect a
+        # 15-40 min first compile on the axon tunnel
+        run_cfg("walk=pallas", walk_backend="pallas")
         run_cfg("no_nee", use_nee=False)
         run_cfg("windows=4", max_windows=4)
         run_cfg("overlaps=4", max_overlaps=4)

@@ -137,6 +137,15 @@ class PRBConfig:
     # ff_chunk-ray chunks whose all-escape chunks skip entirely. 0 runs
     # the walk unchunked over the full wavefront.
     ff_chunk: int = 8192
+    # Window-walk backend (round 4): "pallas" fuses the whole window loop
+    # (selection, segment taus, bisection) into one VMEM-resident kernel
+    # (pallas_kernels/ffwalk.py) instead of the per-window XLA pipeline of
+    # top-k + gathers + event sort + segment scan. Sampling decisions come
+    # from the kernel (stop-gradient by the PRB convention); albedo /
+    # density / transmittance are recomputed differentiably at the sample
+    # point. Gaussian fast-path kernels only (erf antiderivative); other
+    # kernels fall back to "xla".
+    walk_backend: str = "xla"
 
     def tail_cfg(self) -> "PRBConfig":
         if not (self.tail_overlaps or self.tail_windows or self.tail_budget):
@@ -917,6 +926,123 @@ def free_flight(
             jnp.maximum(tau_full_w - tau_part_w, 0.0), axis=-1
         )
 
+    # ---- fused Pallas window walk (round 4, opt-in) ----------------------
+    # Same signature/outputs as _run_windows; the sequential window loop
+    # (selection + gathers + event sort + segment scan + bisection,
+    # reference volprim_prb.py:513-654) runs as ONE VMEM-resident kernel
+    # over the precollected table. The kernel returns sampling decisions
+    # only (stop-gradient, PRB convention); albedo / sampling density /
+    # transmittance are recomputed differentiably at the sample point via
+    # the same closed forms the jump path uses (_f_exact_at).
+    def _run_windows_pallas(
+        o_w, d_w, xi_w, entry_w, exit_w, ids_w, t_budget_w, t_cap_w,
+        act_w, t_min0, trans0, n_windows,
+    ):
+        from ..ops import kernels as kernel_ops
+        from ..pallas_kernels import ffwalk
+
+        fin = jnp.isfinite(entry_w)
+        # Per-interval antiderivative columns: tau over [x, y] of interval
+        # j is cp_j * (erf(alpha_j*y + beta_j) - erf(alpha_j*x + beta_j))
+        # (ops.kernels.gaussian_segment_taus form). Differentiable here;
+        # the kernel stop-grads its copies.
+        coeffs_all = quadric.pair_coeffs_gathered(
+            o_w, d_w, work.centers, work.scales, work.quats, ids_w
+        )
+        sig_w = jnp.where(fin, sig_all[ids_w], 0.0)
+        sp_w = sprod_all[ids_w]
+        a = coeffs_all.a
+        cp = jnp.where(
+            fin,
+            jnp.exp(-0.5 * kernel_ops.gaussian_q_min(coeffs_all))
+            / (4.0 * jnp.pi * sp_w * jnp.sqrt(a))
+            * sig_w,
+            0.0,
+        )
+        alpha = jnp.where(fin, jnp.sqrt(0.5 * a), 1.0)
+        beta = jnp.where(fin, coeffs_all.b / jnp.sqrt(2.0 * a), 0.0)
+        chi = jnp.log(
+            jnp.maximum(jax.lax.stop_gradient(trans0), 1e-30)
+        ) - jnp.log(jnp.maximum(jax.lax.stop_gradient(xi_w), 1e-30))
+
+        found, resolved, bdead, capres, t_samp = ffwalk.walk(
+            entry_w, exit_w, cp, alpha, beta, chi, t_budget_w, t_cap_w,
+            act_w, t_min0,
+            k=k, n_windows=n_windows,
+            solver_iters=cfg.solver_max_iterations,
+            solver_disabled=cfg.solver_type == "disabled",
+            interpret=jax.default_backend() != "tpu",
+        )
+        found = found & act_w
+        resolved = resolved & act_w
+        bdead = bdead & act_w
+
+        # Differentiable full-interval taus for _f_exact_at (same quantity
+        # collection's full_tau carries; recomputed so gradients flow).
+        e_safe = jnp.where(fin, entry_w, 0.0)
+        x_safe = jnp.where(fin, exit_w, 0.0)
+        tau_fin = jnp.where(
+            fin,
+            jnp.maximum(
+                cp * (
+                    jax.scipy.special.erf(alpha * x_safe + beta)
+                    - jax.scipy.special.erf(alpha * e_safe + beta)
+                ),
+                0.0,
+            ),
+            0.0,
+        )
+
+        # Albedo + sampling density at the sample point (mirrors
+        # _window_body's accumulation over the covering window).
+        ts_safe = jnp.where(found, t_samp, 1.0)
+        entry_s, exit_s, sel_s, valid_s, _, _ = _window_from_collected(
+            entry_w, exit_w, ts_safe, k
+        )
+        ids_s = jnp.take_along_axis(ids_w, sel_s, axis=-1)
+        coeffs_s = quadric.pair_coeffs_gathered(
+            o_w, d_w, work.centers, work.scales, work.quats, ids_s
+        )
+        sig_s = jnp.where(valid_s, sig_all[ids_s], 0.0)
+        sp_s = sprod_all[ids_s]
+        q_at = (
+            coeffs_s.a * ts_safe[:, None] + 2.0 * coeffs_s.b
+        ) * ts_safe[:, None] + coeffs_s.c
+        cover = (entry_s <= ts_safe[:, None]) & (exit_s >= ts_safe[:, None])
+        pdf_j = jnp.where(cover, kern.pdf_q(q_at, sp_s) * sig_s, 0.0)
+        accum_pdf = jnp.sum(pdf_j, axis=-1)
+        accum_alb = jnp.stack(
+            [jnp.sum(pdf_j * alb_all[:, ch][ids_s], axis=-1)
+             for ch in range(3)],
+            axis=-1,
+        )
+        alb_w = accum_alb * _safe_rcp(accum_pdf)[:, None]
+        f_ts = _f_exact_at(o_w, d_w, entry_w, exit_w, ids_w, tau_fin, ts_safe)
+        trans_samp = jnp.exp(-jnp.maximum(f_ts, 0.0))
+        density_at_sample = jnp.where(found, accum_pdf * trans_samp, 1.0)
+        albedo = jnp.where(found[:, None], alb_w, 0.0)
+
+        # Escape transmittance: F at the resolve point (t_cap for surface-
+        # capped rays, beyond every interval for full escapes).
+        esc = resolved & ~found
+        t_res = jnp.where(capres, t_cap_w, 1e15)
+        f_res = _f_exact_at(
+            o_w, d_w, entry_w, exit_w, ids_w, tau_fin,
+            jnp.where(esc, t_res, 1.0),
+        )
+        trans = jnp.where(esc, jnp.exp(-jnp.maximum(f_res, 0.0)), 1.0)
+        return (
+            found, resolved, bdead,
+            jnp.where(found, t_samp, jnp.inf),
+            albedo, density_at_sample, trans,
+        )
+
+    run_windows = (
+        _run_windows_pallas
+        if cfg.walk_backend == "pallas" and kern_fast
+        else _run_windows
+    )
+
     def _ff_stop_out(*vals):
         """Debug-stop return: same structure as free_flight, values wired
         to the computed arrays so XLA cannot DCE the stage under test."""
@@ -933,7 +1059,7 @@ def free_flight(
             return _ff_stop_out(entry_all, exit_all, t_budget)
         # sequential walk from t = 0 over the full wavefront
         found, resolved, bdead, t_samp, albedo, density_at_sample, trans = (
-            _run_windows(
+            run_windows(
                 o, d, xi, entry_all, exit_all, ids_all, t_budget, t_cap,
                 active, jnp.zeros((r,), o.dtype), jnp.ones((r,), o.dtype),
                 cfg.max_windows,
@@ -993,7 +1119,7 @@ def free_flight(
         b_t = jnp.maximum(b_t, 0.0)
         f_b = _f_exact_at(o_c, d_c, e_c, x_c, i_c, tf_c, b_t)
         trans0 = jnp.exp(-jnp.maximum(f_b, 0.0))
-        return _run_windows(
+        return run_windows(
             o_c, d_c, xi_c, e_c, x_c, i_c, tb_c, tc_c, ny_c,
             b_t, trans0, min(cfg.max_windows, cfg.jump_windows),
         )
