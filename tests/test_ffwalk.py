@@ -111,6 +111,18 @@ def test_pallas_walk_overlap_drop_semantics():
     _compare(s, cfg, n=256, seed=5)
 
 
+def test_pallas_walk_exact_global_mode():
+    # max_overlaps >= collect_budget with max_windows=1 makes the window
+    # the WHOLE collected set: a single-pass no-truncation walk. k and
+    # n_windows are traced SMEM scalars, so this config shares the Mosaic
+    # variant with the windowed walk. Must agree with the XLA walk at the
+    # same settings (identical semantics when nothing is dropped).
+    cfg = dataclasses.replace(
+        BASE, max_overlaps=64, max_windows=1, collect_budget=64, jump=False
+    )
+    _compare(_cloud(), cfg, n=256, seed=17)
+
+
 def test_pallas_walk_free_flight_distribution():
     # inverse-CDF correctness independent of the XLA path: P(found) = 1 - T
     s = _cloud(n_prims=6, seed=9, spread=0.15, smin=0.3, smax=0.5)

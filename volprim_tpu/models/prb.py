@@ -144,7 +144,11 @@ class PRBConfig:
     # from the kernel (stop-gradient by the PRB convention); albedo /
     # density / transmittance are recomputed differentiably at the sample
     # point. Gaussian fast-path kernels only (erf antiderivative); other
-    # kernels fall back to "xla".
+    # kernels fall back to "xla". k and the window count are traced SMEM
+    # scalars, so capacity configs share ONE Mosaic variant — including
+    # the exact no-truncation mode (max_overlaps >= interval_budget,
+    # max_windows=1: the whole collected set walks as a single window,
+    # infeasible for the XLA path whose segment tensor is [R, 2K-1, K]).
     walk_backend: str = "xla"
 
     def tail_cfg(self) -> "PRBConfig":

@@ -66,10 +66,15 @@ def _erf(x):
 
 
 def _kernel(
-    entry_ref, exit_ref, cp_ref, al_ref, be_ref, aux_ref, ut_ref, out_ref,
-    *, k: int, n_windows: int, bisect_iters: int, solver_iters: int,
-    solver_disabled: bool,
+    kw_ref, entry_ref, exit_ref, cp_ref, al_ref, be_ref, aux_ref, ut_ref,
+    out_ref,
+    *, bisect_iters: int, solver_iters: int, solver_disabled: bool,
 ):
+    # traced SMEM scalars: changing max_overlaps (k) or the window count
+    # costs an XLA retrace, never a fresh Mosaic variant (the composite3
+    # max_depth pattern) — variants are keyed by (block, K', solver) only
+    kf = kw_ref[0, 0].astype(jnp.float32)  # window size K
+    n_windows = kw_ref[0, 1]
     entry = entry_ref[...]  # [RB, KP] raw entries, ascending, _BIG pad
     exit_t = exit_ref[...]  # [RB, KP]
     cp = cp_ref[...]  # [RB, KP] c_pair * sigma_t (antiderivative scale)
@@ -102,9 +107,9 @@ def _kernel(
             jnp.where(openm, 1.0, 0.0).astype(jnp.bfloat16), ut,
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )  # inclusive open-count along lanes
-        selm = openm & (rank <= k)
+        selm = openm & (rank <= kf)
         nxt = jnp.min(
-            jnp.where(openm & (rank == k + 1), entry, _BIG),
+            jnp.where(openm & (rank == kf + 1.0), entry, _BIG),
             axis=1, keepdims=True,
         )
         has_more = nxt < _BIG * 0.5
@@ -239,7 +244,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "n_windows", "bisect_iters", "solver_iters", "solver_disabled",
+        "bisect_iters", "solver_iters", "solver_disabled",
         "block_rays", "interpret",
     ),
 )
@@ -301,15 +306,21 @@ def walk(
     jot = jax.lax.broadcasted_iota(jnp.int32, (kpp, kpp), 1)
     ut = (iot <= jot).astype(jnp.bfloat16)
 
+    from jax.experimental.pallas import tpu as pltpu
+
+    kw = jnp.asarray([[k, n_windows]], jnp.int32)
     n_blocks = (r + rpad) // rb
     out = pl.pallas_call(
         functools.partial(
             _kernel,
-            k=k, n_windows=n_windows, bisect_iters=bisect_iters,
+            bisect_iters=bisect_iters,
             solver_iters=solver_iters, solver_disabled=solver_disabled,
         ),
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(
+                (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((rb, kpp), lambda i: (i, 0)),
             pl.BlockSpec((rb, kpp), lambda i: (i, 0)),
             pl.BlockSpec((rb, kpp), lambda i: (i, 0)),
@@ -321,7 +332,7 @@ def walk(
         out_specs=pl.BlockSpec((rb, 8), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((r + rpad, 8), jnp.float32),
         interpret=interpret,
-    )(entry_p, exit_p, cp_p, al_p, be_p, aux, ut)[:r]
+    )(kw, entry_p, exit_p, cp_p, al_p, be_p, aux, ut)[:r]
 
     found = out[:, 0] > 0.5
     resolved = out[:, 1] > 0.5
