@@ -81,6 +81,23 @@ def test_render_volume_cli(tmp_path):
     assert 0.0 < img.mean() < 10.0
 
 
+def test_render_volume_cli_pallas_walk(tmp_path):
+    # the fused free-flight walk through the acceptance CLI: identical
+    # sampling decisions -> the same image up to f32-boundary flips
+    out_x = str(tmp_path / "vol_x.exr")
+    out_p = str(tmp_path / "vol_p.exr")
+    common = ["--width", "32", "--height", "32", "--spp", "1"]
+    _run_cli("render_volume.py", ["--output", out_x] + common)
+    _run_cli(
+        "render_volume.py",
+        ["--output", out_p, "--walk_backend", "pallas"] + common,
+    )
+    a = vp.utils.image.read_exr(out_x)
+    b = vp.utils.image.read_exr(out_p)
+    assert np.isfinite(b).all()
+    assert np.isclose(a, b, rtol=1e-2, atol=1e-2).mean() > 0.98
+
+
 def test_refine_3dg_dataset_cli(tmp_path):
     """Full inverse workflow as a user runs it: PLY + cameras in, trained
     asset dir + loss falling out (--selfref renders its own references)."""
