@@ -196,16 +196,22 @@ def _kernel(
         if not solver_disabled:
             erf_t0 = _erf(al * jnp.clip(t0, lo, hi) + be)
 
-            def solve(i, tt):
+            # step_i = (t1-t0)/2^(i+2), carried and halved (exact powers
+            # of two) — a scalar pow of the loop index may not lower on
+            # the Mosaic scalar core
+            def solve(_, c):
+                tt, step = c
                 e = _erf(al * jnp.clip(tt, lo, hi) + be)
                 tau_p = lane_sum(
                     jnp.where(selm, cp * (e - erf_t0), 0.0)
                 )
-                step = (t1 - t0) / (2.0 ** (i.astype(f32) + 2.0))
                 tt = jnp.where(tau_p > chi_loc, tt - step, tt + step)
-                return jnp.clip(tt, t0, t1)
+                return jnp.clip(tt, t0, t1), step * 0.5
 
-            tt = jax.lax.fori_loop(0, solver_iters, solve, tt, unroll=False)
+            tt, _ = jax.lax.fori_loop(
+                0, solver_iters, solve, (tt, 0.25 * (t1 - t0)),
+                unroll=False,
+            )
 
         # ---- state updates (mirrors _window_body) ------------------------
         t_samp = jnp.where(found_w, tt, t_samp)
