@@ -82,9 +82,15 @@ def main():
     run_cfg("full (bench cfg)")
     if not args.quick:
         # fused Pallas window walk (round 4, pallas_kernels/ffwalk.py):
-        # ONE Mosaic variant (statics: k, n_windows, solver); expect a
-        # 15-40 min first compile on the axon tunnel
+        # ONE Mosaic variant for both rows below (k/window-count are
+        # traced SMEM scalars); expect a 15-40 min first compile
         run_cfg("walk=pallas", walk_backend="pallas")
+        # exact no-truncation sampling: the whole collected set as one
+        # window — infeasible for the XLA walk ([R, 2K-1, K] segments)
+        run_cfg(
+            "walk=pallas exact", walk_backend="pallas",
+            max_overlaps=128, max_windows=1,
+        )
         run_cfg("no_nee", use_nee=False)
         run_cfg("windows=4", max_windows=4)
         run_cfg("overlaps=4", max_overlaps=4)
