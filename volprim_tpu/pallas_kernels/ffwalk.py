@@ -98,7 +98,13 @@ def _kernel(
         return jnp.sum(x, axis=1, keepdims=True)
 
     def window_body(_, carry):
-        (t_min, chi_rem, found, resolved, bdead, capres, t_samp) = carry
+        # flags carried as f32 0/1: i1 vectors in a Mosaic loop carry are
+        # a lowering risk, and the outputs are f32 anyway
+        (t_min, chi_rem, found_f, resolved_f, bdead_f, capres_f,
+         t_samp) = carry
+        found = found_f > 0.5
+        resolved = resolved_f > 0.5
+        bdead = bdead_f > 0.5
         win_act = act & ~(found | resolved | bdead)
 
         # ---- selection: first-K open intervals by entry rank ------------
@@ -214,35 +220,31 @@ def _kernel(
             )
 
         # ---- state updates (mirrors _window_body) ------------------------
+        one = jnp.ones_like(t_min)
         t_samp = jnp.where(found_w, tt, t_samp)
-        capres = capres | (resolved_w & hit_cap & (t_cap < _BIG * 0.5))
-        found = found | found_w
-        resolved = resolved | found_w | resolved_w
-        bdead = bdead | bdead_w
+        capres_f = jnp.where(
+            resolved_w & hit_cap & (t_cap < _BIG * 0.5), one, capres_f
+        )
+        found_f = jnp.where(found_w, one, found_f)
+        resolved_f = jnp.where(found_w | resolved_w, one, resolved_f)
+        bdead_f = jnp.where(bdead_w, one, bdead_f)
         cont = win_act & ~found_w & ~resolved_w & ~bdead_w
         chi_rem = jnp.where(cont, chi_rem - tau_win, chi_rem)
         t_min = jnp.where(cont, t_limit, t_min)
-        return (t_min, chi_rem, found, resolved, bdead, capres, t_samp)
+        return (
+            t_min, chi_rem, found_f, resolved_f, bdead_f, capres_f, t_samp
+        )
 
     zeros = jnp.zeros((rb, 1), f32)
-    fbool = jnp.zeros((rb, 1), bool)
     init = (
-        t_min0, chi0, fbool, fbool, fbool, fbool, jnp.full((rb, 1), _BIG)
+        t_min0, chi0, zeros, zeros, zeros, zeros, jnp.full((rb, 1), _BIG)
     )
-    (t_min, chi_rem, found, resolved, bdead, capres, t_samp) = (
+    (t_min, chi_rem, found_f, resolved_f, bdead_f, capres_f, t_samp) = (
         jax.lax.fori_loop(0, n_windows, window_body, init, unroll=False)
     )
     out_ref[...] = jnp.concatenate(
-        [
-            jnp.where(found, 1.0, 0.0),
-            jnp.where(resolved, 1.0, 0.0),
-            jnp.where(bdead, 1.0, 0.0),
-            jnp.where(capres, 1.0, 0.0),
-            t_samp,
-            t_min,
-            chi_rem,
-            zeros,
-        ],
+        [found_f, resolved_f, bdead_f, capres_f, t_samp, t_min, chi_rem,
+         zeros],
         axis=1,
     )
 
