@@ -147,6 +147,46 @@ def test_score_gradient_absorbing():
     assert abs(g - expected) < tol, f"grad {g} vs {expected} +/- {tol}"
 
 
+def test_coeff_gemm_matches_elementwise():
+    # the MXU coefficient path (quadric.pair_coeffs_gemm, HIGHEST
+    # precision) must reproduce the elementwise streaming scans: optical
+    # depth to ~f32, free-flight decisions up to rare boundary flips
+    import dataclasses
+
+    f = scene.EllipsoidsFactory()
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        f.add(
+            mean=rng.normal(size=3) * 0.4,
+            scale=float(rng.uniform(0.15, 0.5)),
+            sigma_t=float(rng.uniform(1.0, 5.0)),
+            albedo=float(rng.uniform(0.2, 0.9)),
+        )
+    s = f.build()
+    n = 512
+    o, d = dup_rays([0, 0, -5], [0, 0, 1], n)
+    o = o + jax.random.normal(jax.random.PRNGKey(3), (n, 3)) * jnp.asarray(
+        [0.3, 0.3, 0.0]
+    )
+    cfg_e = PRBConfig(max_overlaps=8, max_windows=6, chunk_size=64)
+    cfg_g = dataclasses.replace(cfg_e, coeff_gemm=True)
+    f_e = np.asarray(transmittance(s, o, d, cfg_e))
+    f_g = np.asarray(transmittance(s, o, d, cfg_g))
+    np.testing.assert_allclose(f_g, f_e, rtol=2e-4, atol=2e-5)
+
+    xi = jax.random.uniform(jax.random.PRNGKey(5), (n,), minval=1e-6)
+    act = jnp.ones((n,), bool)
+    ff_e = free_flight(s, o, d, xi, cfg_e, act)
+    ff_g = free_flight(s, o, d, xi, cfg_g, act)
+    found_e, found_g = np.asarray(ff_e[0]), np.asarray(ff_g[0])
+    assert (found_e != found_g).mean() < 0.01
+    both = found_e & found_g
+    np.testing.assert_allclose(
+        np.asarray(ff_g[2])[both], np.asarray(ff_e[2])[both],
+        rtol=1e-3, atol=5e-3,
+    )
+
+
 def test_nee_mis_consistency():
     # with and without NEE must agree in expectation (here: single scatter
     # dominates). Use a sun-less smooth envmap so variance stays low.

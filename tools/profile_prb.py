@@ -91,6 +91,9 @@ def main():
             "walk=pallas exact", walk_backend="pallas",
             max_overlaps=128, max_windows=1,
         )
+        # MXU coefficient GEMMs in the streaming scans (XLA-only, no
+        # Mosaic variants) — decides the coeff_gemm default
+        run_cfg("coeff=gemm", coeff_gemm=True)
         run_cfg("no_nee", use_nee=False)
         run_cfg("windows=4", max_windows=4)
         run_cfg("overlaps=4", max_overlaps=4)

@@ -150,6 +150,16 @@ class PRBConfig:
     # max_windows=1: the whole collected set walks as a single window,
     # infeasible for the XLA path whose segment tensor is [R, 2K-1, K]).
     walk_backend: str = "xla"
+    # Coefficient GEMMs (round 4): compute the chunked all-pairs quadric
+    # coefficients in the streaming scans (optical_depth escape decision,
+    # interval collection, need counting) as [R, 10] x [10, C] HIGHEST-
+    # precision matmuls (quadric.pair_coeffs_gemm) instead of the ~45-op
+    # elementwise broadcast — the same MXU formulation the fused rf
+    # kernels use. Off by default until the TPU A/B (profile_prb
+    # coeff=gemm row): numerically it is the fused kernels' precision
+    # (HIGHEST = 6 bf16 passes), which can flip rare boundary samples vs
+    # the elementwise f32 path.
+    coeff_gemm: bool = False
 
     def tail_cfg(self) -> "PRBConfig":
         if not (self.tail_overlaps or self.tail_windows or self.tail_budget):
@@ -222,6 +232,7 @@ def _gather_intervals(
     k: int,
     chunk_size: int,
     kern: Optional[Kernel] = None,
+    coeff_gemm: bool = False,
 ):
     """Per-ray K nearest [entry, exit) extent-ellipsoid intervals with
     entry >= t_min (entries clamped to t_min for overlapping primitives).
@@ -255,11 +266,20 @@ def _gather_intervals(
 
     r = o.shape[0]
     inf = jnp.inf
+    if coeff_gemm:
+        pf_chunks = quadric.prim_features(
+            padded.centers, padded.scales, padded.quats
+        ).reshape(10, n_chunks, c).transpose(1, 0, 2)
+        rayf = quadric.ray_features(o, d)
 
     def body(carry, inputs):
         best_t, best_exit, best_id, best_tau = carry
-        chunk_idx, ctr, scl, qt, is_real, sig_c, sp_c = inputs
-        coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
+        if coeff_gemm:
+            chunk_idx, ctr, scl, qt, is_real, sig_c, sp_c, pfc = inputs
+            coeffs = quadric.pair_coeffs_gemm(rayf, pfc)
+        else:
+            chunk_idx, ctr, scl, qt, is_real, sig_c, sp_c = inputs
+            coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, t_near, t_far = quadric.intersect_extent(coeffs, padded.extent)
         valid = valid & is_real[None, :]
         # Segment partitions are detached (PRB convention: sampling geometry
@@ -310,6 +330,8 @@ def _gather_intervals(
         zero_c = jnp.zeros((n_chunks, c), o.dtype)
         xs = (jnp.arange(n_chunks), centers, scales, quats, real,
               zero_c, zero_c)
+    if coeff_gemm:
+        xs = xs + (pf_chunks,)
     (entry, exit_t, ids, full_tau), _ = jax.lax.scan(body, init, xs)
     count = jnp.sum(jnp.isfinite(entry), axis=-1)
     return entry, exit_t, ids, count, (full_tau if with_tau else None)
@@ -353,7 +375,7 @@ def _collect_intervals(
         zeros = jnp.zeros((r,), o.dtype)
         entry, exit_t, ids, count, full_tau = _gather_intervals(
             primitives, o, d, zeros, kp, cfg.chunk_size,
-            kern=kern if fast else None,
+            kern=kern if fast else None, coeff_gemm=cfg.coeff_gemm,
         )
         t_budget = jnp.where(count >= kp, entry[:, -1], inf)
         return entry, exit_t, ids, t_budget, full_tau
@@ -634,6 +656,7 @@ def count_intervals(
     o: jnp.ndarray,
     d: jnp.ndarray,
     chunk_size: int = 65536,
+    coeff_gemm: bool = False,
 ) -> jnp.ndarray:
     """Per-ray count of entered extent ellipsoids — the quantity
     ``collect_budget`` caps. A pure chunked counting scan (no gathers, no
@@ -647,17 +670,28 @@ def count_intervals(
     scales = padded.scales.reshape(n // c, c, 3)
     quats = padded.quats.reshape(n // c, c, 4)
     real = jnp.arange(n).reshape(n // c, c) < primitives.num_prims
+    if coeff_gemm:
+        pf_chunks = quadric.prim_features(
+            padded.centers, padded.scales, padded.quats
+        ).reshape(10, n // c, c).transpose(1, 0, 2)
+        rayf = quadric.ray_features(o, d)
 
     def body(acc, inputs):
-        ctr, scl, qt, is_real = inputs
-        coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
+        if coeff_gemm:
+            ctr, scl, qt, is_real, pfc = inputs
+            coeffs = quadric.pair_coeffs_gemm(rayf, pfc)
+        else:
+            ctr, scl, qt, is_real = inputs
+            coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, _, t_far = quadric.intersect_extent(coeffs, padded.extent)
         valid = valid & is_real[None, :] & (t_far > 0.0)
         return acc + jnp.sum(valid, axis=-1, dtype=jnp.int32), None
 
+    xs = (centers, scales, quats, real)
+    if coeff_gemm:
+        xs = xs + (pf_chunks,)
     acc, _ = jax.lax.scan(
-        body, jnp.zeros((o.shape[0],), jnp.int32),
-        (centers, scales, quats, real),
+        body, jnp.zeros((o.shape[0],), jnp.int32), xs
     )
     return acc
 
@@ -698,7 +732,11 @@ def suggest_budgets(
     if r > sample_rays:
         idx = np.random.default_rng(seed).choice(r, sample_rays, False)
         o, d = o[idx], d[idx]
-    need = np.asarray(count_intervals(primitives, o, d, cfg.chunk_size))
+    need = np.asarray(
+        count_intervals(
+            primitives, o, d, cfg.chunk_size, coeff_gemm=cfg.coeff_gemm
+        )
+    )
     b = int(np.percentile(need, percentile))
     budget = max(16, -(-b // 16) * 16)
     windows = max(cfg.max_windows, -(-budget // cfg.max_overlaps) + 2)
@@ -1159,6 +1197,7 @@ def free_flight(
                 e_c, x_c, i_c, cnt_c, ft_c = _gather_intervals(
                     primitives, oc, dc, jnp.zeros((wc,), o.dtype),
                     kp, cfg.chunk_size, kern=kern,
+                    coeff_gemm=cfg.coeff_gemm,
                 )
                 tb_c = jnp.where(cnt_c >= kp, e_c[:, -1], jnp.inf)
                 tf_c = jnp.where(jnp.isfinite(e_c), ft_c, 0.0)
@@ -1186,7 +1225,7 @@ def free_flight(
     else:
         e_f, x_f, i_f, cnt_f, ft_f = _gather_intervals(
             primitives, o, d, jnp.zeros((r,), o.dtype),
-            kp, cfg.chunk_size, kern=kern,
+            kp, cfg.chunk_size, kern=kern, coeff_gemm=cfg.coeff_gemm,
         )
         tb_f = jnp.where(cnt_f >= kp, e_f[:, -1], jnp.inf)
         tf_f = jnp.where(jnp.isfinite(e_f), ft_f, 0.0)
@@ -1238,11 +1277,20 @@ def optical_depth(
     quats = prims.quats.reshape(n_chunks, c, 4)
     sigma_t = prims.attrs["sigma_t"].reshape(n_chunks, c)
     real = jnp.arange(n).reshape(n_chunks, c) < primitives.num_prims
+    if cfg.coeff_gemm:
+        pf_chunks = quadric.prim_features(
+            prims.centers, prims.scales, prims.quats
+        ).reshape(10, n_chunks, c).transpose(1, 0, 2)
+        rayf = quadric.ray_features(o, d)
 
     @jax.checkpoint
     def chunk_tau(chunk):
-        ctr, scl, qt, sig, is_real = chunk
-        coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
+        if cfg.coeff_gemm:
+            ctr, scl, qt, sig, is_real, pfc = chunk
+            coeffs = quadric.pair_coeffs_gemm(rayf, pfc)
+        else:
+            ctr, scl, qt, sig, is_real = chunk
+            coeffs = quadric.ray_prim_coeffs(o, d, ctr, scl, qt)
         valid, _, t_far = quadric.intersect_extent(coeffs, prims.extent)
         valid = valid & (t_far > 0.0) & is_real[None, :]
         s_prod = (scl[:, 0] * scl[:, 1] * scl[:, 2])[None, :]
@@ -1256,10 +1304,11 @@ def optical_depth(
     def body(tau, chunk):
         return tau + chunk_tau(chunk), None
 
+    xs = (centers, scales, quats, sigma_t, real)
+    if cfg.coeff_gemm:
+        xs = xs + (pf_chunks,)
     tau, _ = jax.lax.scan(
-        body,
-        jnp.zeros((o.shape[0],), o.dtype),
-        (centers, scales, quats, sigma_t, real),
+        body, jnp.zeros((o.shape[0],), o.dtype), xs
     )
     return tau
 

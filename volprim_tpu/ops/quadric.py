@@ -184,6 +184,28 @@ def pair_coeffs_gathered(
 # ----------------------------------------------------------------------------
 
 
+def pair_coeffs_gemm(
+    rayf: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],  # ray_features(o, d)
+    pf: jnp.ndarray,  # [10, C] prim_features(...)
+) -> QuadricCoeffs:
+    """All-pairs quadric coefficients as three HIGHEST-precision GEMMs.
+
+    The XLA twin of the fused kernels' in-VMEM coefficient GEMMs: on TPU
+    the elementwise :func:`ray_prim_coeffs` broadcast costs ~45 VPU ops
+    per (ray, primitive) pair, while ``[R, 10] x [10, C]`` rides the MXU.
+    HIGHEST precision is required — the default bf16 passes explode the
+    ``q_min = c - b^2/a`` cancellation (see the rf kernels, which pay the
+    same 6-pass cost for the same reason).
+    """
+    fa, fb, fc = rayf
+    hp = jax.lax.Precision.HIGHEST
+    return QuadricCoeffs(
+        jnp.matmul(fa, pf, precision=hp),
+        jnp.matmul(fb, pf, precision=hp),
+        jnp.matmul(fc, pf, precision=hp),
+    )
+
+
 def prim_features(
     centers: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray
 ) -> jnp.ndarray:
