@@ -819,6 +819,9 @@ def main():
                 # (pallas_kernels/ffwalk.py; one Mosaic variant) — flip the
                 # default only after the queued profile_prb A/B wins
                 walk_backend=os.environ.get("BENCH_PRB_WALK", "xla"),
+                # BENCH_PRB_CGEMM=1: MXU coefficient GEMMs in the
+                # streaming scans (XLA-only; profile_prb coeff=gemm row)
+                coeff_gemm=os.environ.get("BENCH_PRB_CGEMM", "0") == "1",
             )
             pj = jax.jit(
                 lambda p, s: vmodels.render(
