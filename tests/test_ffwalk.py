@@ -111,6 +111,30 @@ def test_pallas_walk_overlap_drop_semantics():
     _compare(s, cfg, n=256, seed=5)
 
 
+def test_pallas_walk_solver_disabled():
+    # solver_type="disabled" returns the crossing segment's midpoint
+    # (prb:545-548) — the segment snap must reproduce it
+    cfg = dataclasses.replace(BASE, solver_type="disabled", jump=False)
+    _compare(_cloud(), cfg, n=256, seed=29)
+
+
+def test_pallas_walk_budget_death_agreement():
+    # a collection budget far below the per-ray interval need: both
+    # backends must budget-kill the same rays (max_depth_primitive
+    # semantics, prb:60,456-459)
+    s = _cloud(n_prims=40, seed=31, spread=0.2, smin=0.25, smax=0.5)
+    cfg = dataclasses.replace(
+        BASE, collect_budget=16, max_overlaps=4, max_windows=8, jump=False
+    )
+    o, d, xi = _rays(256, seed=33)
+    act = jnp.ones((256,), bool)
+    fx = free_flight(s, o, d, xi, dataclasses.replace(cfg, walk_backend="xla"), act)
+    fp = free_flight(s, o, d, xi, dataclasses.replace(cfg, walk_backend="pallas"), act)
+    dead_x, dead_p = np.asarray(fx[1]), np.asarray(fp[1])
+    assert dead_x.any(), "config must actually exercise budget death"
+    assert (dead_x != dead_p).mean() < 0.01
+
+
 def test_pallas_walk_exact_global_mode():
     # max_overlaps >= collect_budget with max_windows=1 makes the window
     # the WHOLE collected set: a single-pass no-truncation walk. k and
