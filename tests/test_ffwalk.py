@@ -147,6 +147,52 @@ def test_pallas_walk_exact_global_mode():
     _compare(_cloud(), cfg, n=256, seed=17)
 
 
+def test_pallas_walk_exact_mode_beats_drop_truncation():
+    # With more simultaneous overlaps than K, the windowed walk (like the
+    # reference's dr.Local capacity, common.py:428-441) DROPS density and
+    # under-samples interactions; the exact global mode (whole collected
+    # set as one window) matches the true analytic interaction
+    # probability. This capability exceeds the reference: its overlap
+    # stack is a hard capacity.
+    f = scene.EllipsoidsFactory()
+    rng = np.random.default_rng(41)
+    for _ in range(12):
+        f.add(
+            mean=rng.normal(size=3) * 0.03,
+            scale=0.4,
+            sigma_t=1.2,
+            albedo=0.5,
+        )
+    s = f.build()
+    n = 8192
+    o = jnp.tile(jnp.asarray([0, 0, -5.0], jnp.float32)[None, :], (n, 1))
+    d = jnp.tile(jnp.asarray([0, 0, 1.0], jnp.float32)[None, :], (n, 1))
+    xi = jax.random.uniform(
+        jax.random.PRNGKey(6), (n,), minval=1e-7, maxval=1.0
+    )
+    act = jnp.ones((n,), bool)
+    coeffs = quadric.ray_prim_coeffs(
+        o[:1], d[:1], s.centers, s.scales, s.quats
+    )
+    full = kernels.gaussian_integral_full(
+        coeffs, s.scale_prod()[None, :], jnp.ones_like(coeffs.a, bool)
+    )
+    t_true = float(
+        jnp.exp(-jnp.sum(full * s.attrs["sigma_t"][:, 0][None, :], -1))[0]
+    )
+    tol = 4.0 * np.sqrt(t_true * (1 - t_true) / n)
+
+    kw = dict(collect_budget=16, chunk_size=64, jump=False,
+              walk_backend="pallas")
+    cfg_drop = PRBConfig(max_overlaps=4, max_windows=8, **kw)
+    cfg_exact = PRBConfig(max_overlaps=16, max_windows=1, **kw)
+    p_drop = float(jnp.mean(free_flight(s, o, d, xi, cfg_drop, act)[0]))
+    p_exact = float(jnp.mean(free_flight(s, o, d, xi, cfg_exact, act)[0]))
+    assert abs(p_exact - (1.0 - t_true)) < tol, (p_exact, 1 - t_true)
+    # the drop truncation under-samples interactions measurably
+    assert p_drop < p_exact - 2 * tol, (p_drop, p_exact)
+
+
 def test_pallas_walk_free_flight_distribution():
     # inverse-CDF correctness independent of the XLA path: P(found) = 1 - T
     s = _cloud(n_prims=6, seed=9, spread=0.15, smin=0.3, smax=0.5)
