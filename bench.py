@@ -39,6 +39,38 @@ import time
 import numpy as np
 
 
+_partial_started = False
+
+
+def _emit_partial(section: dict) -> None:
+    """Merge a finished bench section into BENCH_DETAILS.json immediately.
+
+    The axon tunnel dies for hours at a time and the full run is hours of
+    cold Mosaic compiles: without incremental writes a late-section death
+    loses every number already measured (round 3 ended with rc=1 and no
+    driver-verified details at all). The first write of a run REPLACES the
+    file (never mixes rounds); the final complete write at the end of
+    main() clears the _partial marker."""
+    global _partial_started
+    if os.environ.get("BENCH_NO_DETAILS", "0") == "1" or not section:
+        return
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    data = {}
+    if _partial_started and os.path.exists(path):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+    data.update(section)
+    data["_partial"] = True
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    _partial_started = True
+
+
 def _orient_quats(normals: np.ndarray, rng) -> np.ndarray:
     """Quats rotating local +z onto each normal, with random spin."""
     n = normals / np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
@@ -723,6 +755,18 @@ def main():
         f" stages {stage}",
         file=sys.stderr,
     )
+    _emit_partial(
+        {
+            "rf_mrays": round(mrays, 3),
+            "rf_psnr_vs_2x_shortlist_db": round(psnr2x, 2),
+            "stages": stage,
+            **band_stats,
+            **(
+                {"rf_psnr_vs_exact_db": round(psnr_exact, 2)}
+                if np.isfinite(psnr_exact) else {}
+            ),
+        }
+    )
 
     # ---- training-step metric (fused forward + custom-VJP backward) ------
     train_stats = {}
@@ -781,6 +825,7 @@ def main():
             )
         except Exception as e:  # keep the headline metric alive
             print(f"train-step metric failed: {e}", file=sys.stderr)
+    _emit_partial(train_stats)
 
     # ---- smoke-PRB metric (BASELINE config #3, the other headline half) --
     prb_stats = {}
@@ -930,6 +975,7 @@ def main():
             )
         except Exception as e:  # keep the headline metric alive
             print(f"prb smoke metric failed: {e}", file=sys.stderr)
+    _emit_partial(prb_stats)
 
     # ---- truck-scale metric (BASELINE config #2 class: >=2M primitives) --
     scale_stats = {}
@@ -938,11 +984,13 @@ def main():
             scale_stats = bench_2m(jax, jnp, vp, rf_tiled, cfg)
         except Exception as e:  # keep the headline metric alive
             print(f"2M-scale metric failed: {e}", file=sys.stderr)
+        _emit_partial(scale_stats)
     if os.environ.get("BENCH_PRB1M", "1") != "0":
         try:
             scale_stats.update(bench_prb_cluster_1m(jax, jnp, vp))
         except Exception as e:
             print(f"prb-1M metric failed: {e}", file=sys.stderr)
+        _emit_partial(scale_stats)
 
     baseline_proxy = 100.0  # Mrays/sec, see module docstring
     # fold in the truck-scale training parity block when the (long)
