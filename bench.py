@@ -488,6 +488,47 @@ def bench_prb_cluster_1m(jax, jnp, vp):
     }
 
 
+def _probe_backend(timeout_s: int = 600) -> None:
+    """Fail fast if the pinned backend cannot run a trivial op.
+
+    The axon tunnel dies for hours at a time, and when it is down the
+    in-process device init HANGS (no error) — a driver-invoked bench then
+    burns its whole timeout budget discovering nothing. Probe in a
+    subprocess with a hard timeout before touching jax in-process; a dead
+    tunnel exits rc=3 within ``timeout_s`` with a clear message. Bypass
+    with BENCH_SKIP_PROBE=1 (the probe itself costs one extra device init
+    when the backend is healthy, ~seconds)."""
+    if os.environ.get("BENCH_SKIP_PROBE", "0") == "1":
+        return
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(jax.devices());"
+        "assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: backend probe HUNG >{timeout_s}s (axon tunnel down?) "
+            "— aborting before in-process device init.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    if r.returncode != 0:
+        print(
+            "bench: backend probe FAILED (tunnel down / backend error):\n"
+            + (r.stderr or "")[-2000:],
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    print(f"bench: backend probe OK: {r.stdout.strip()}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -1036,4 +1077,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _probe_backend()
     main()
