@@ -77,6 +77,16 @@ CONFIGS = {
     ),
     "band64": dict(gc=0, mc=65536, resort=False, md=MD_REF, band=64),
     "band255": dict(gc=0, mc=65536, resort=False, md=MD_REF, band=255),
+    # entry resort + band: the entry-sorted stream leaves only LOCAL
+    # residual inversions, which is exactly what a band fixes — measured
+    # separately each gives 26.10 / 26.12 dB at 2M; the combination is
+    # the candidate past both.
+    "entry-band64": dict(
+        gc=0, mc=65536, resort="entry", md=MD_REF, band=64
+    ),
+    "entry-band255": dict(
+        gc=0, mc=65536, resort="entry", md=MD_REF, band=255
+    ),
 }
 
 
