@@ -227,10 +227,13 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
     """
     import time as _time
 
-    n2m = 2097152
+    # BENCH_2M_N / BENCH_2M_RES: smoke knobs (see main(); non-default
+    # sizes keep their exact reference under /tmp, never in tests/golden)
+    n2m = int(os.environ.get("BENCH_2M_N", "2097152"))
+    res2 = int(os.environ.get("BENCH_2M_RES", "512"))
     scene2 = make_scene(n2m)
     camera = vp.scene.CameraSpecs(
-        name="bench2m", width=512, height=512,
+        name="bench2m", width=res2, height=res2,
         to_world=vp.scene.look_at([0, 0.4, -3.2], [0, 0, 0], [0, 1, 0]),
         fov=50.0,
     )
@@ -282,7 +285,7 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
         kmax = max(k for _, k in cfg.budget_classes) if (
             cfg.budget_classes
         ) else cfg.max_candidates // cfg.cluster_size
-        n_t = (512 // 16) ** 2
+        n_t = (res2 // 16) ** 2
         frac = (
             max(f for f, k in cfg.budget_classes
                 if k == kmax) if cfg.budget_classes else 1.0
@@ -301,7 +304,7 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
         float(jfn(state, jnp.int32(100 * (i + 1))))
         times.append(_time.perf_counter() - t0)
     exec_s = float(np.min(times)) / 4
-    mrays = 512 * 512 * spp / exec_s / 1e6
+    mrays = res2 * res2 * spp / exec_s / 1e6
 
     # PSNR vs exact per-ray order on a fixed 4096-ray subsample
     img1 = np.asarray(
@@ -314,13 +317,17 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
     # golden versioned by the reference hit cap: the md=128 file
     # (bench2m_exact.npz) is KNOWN WRONG on the ~1% deepest rays (hit
     # counts reach 218) — it disagrees with exact@512 by 26.5 dB
-    gpath = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests", "golden",
-        "bench2m_exact.npz" if md2 == 128 else f"bench2m_exact_d{md2}.npz",
-    )
+    if n2m == 2097152 and res2 == 512:
+        gpath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "golden",
+            "bench2m_exact.npz" if md2 == 128
+            else f"bench2m_exact_d{md2}.npz",
+        )
+    else:  # smoke sizes keep their reference out of tests/golden
+        gpath = f"/tmp/bench2m_exact_n{n2m}_r{res2}_d{md2}.npz"
     rng = np.random.default_rng(42)
-    sel = rng.choice(512 * 512, size=4096, replace=False)
+    sel = rng.choice(res2 * res2, size=min(4096, res2 * res2 // 4), replace=False)
     if os.environ.get("BENCH_REGEN_EXACT") == "1" or not os.path.exists(
         gpath
     ):
@@ -378,7 +385,9 @@ def bench_prb_cluster_1m(jax, jnp, vp):
 
     smoke = vp.scene.load_ply("/root/reference/resources/smoke.ply")
     n0 = smoke.num_prims
-    reps = -(-1_048_576 // n0)  # 835-prim smoke -> 1.05M primitives
+    # BENCH_PRB1M_N: smoke knob (see main())
+    target = int(os.environ.get("BENCH_PRB1M_N", "1048576"))
+    reps = -(-target // n0)  # 835-prim smoke -> 1.05M primitives
     rng = np.random.default_rng(3)
     offs = rng.uniform(-3.0, 3.0, size=(reps, 3)).astype(np.float32)
     offs[0] = 0.0
@@ -536,8 +545,12 @@ def main():
     import volprim_tpu as vp
     from volprim_tpu.models import rf_tiled
 
-    n_prims = 262144
-    width = height = 512
+    # BENCH_N / BENCH_RES: smoke knobs — shrink the scene/film so every
+    # section's Python path can run end-to-end off-TPU (CPU interpret)
+    # before an expensive queued hardware run. Defaults unchanged;
+    # non-default sizes never touch the checked-in goldens.
+    n_prims = int(os.environ.get("BENCH_N", "262144"))
+    width = height = int(os.environ.get("BENCH_RES", "512"))
     spp = 2
     kind = os.environ.get("BENCH_SCENE", "surface")
 
@@ -669,9 +682,17 @@ def main():
         )(state, jnp.int32(0))
     )
     psnr_exact = float("nan")
-    exact_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests", "golden", "bench_exact512.npy",
+    # Non-default (smoke) sizes regenerate their own exact reference under
+    # /tmp — the checked-in golden is platform-matched to the TPU and must
+    # only ever be (re)written at the canonical size on the bench platform.
+    default_size = n_prims == 262144 and width == 512
+    exact_path = (
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "golden", "bench_exact512.npy",
+        )
+        if default_size
+        else f"/tmp/bench_exact_n{n_prims}_r{width}.npy"
     )
     if kind == "surface":
         if os.environ.get("BENCH_REGEN_EXACT") == "1" or not os.path.exists(
@@ -688,14 +709,17 @@ def main():
                     scene, None, o_, d_, ecfg, jax.random.PRNGKey(0)
                 )
             )
+            n_r = width * height
+            csz = min(65536, n_r)
             outs = [
-                np.asarray(jex(o_r[i * 65536:(i + 1) * 65536],
-                               d_r[i * 65536:(i + 1) * 65536]))
-                for i in range(4)
+                np.asarray(jex(o_r[i:i + csz], d_r[i:i + csz]))
+                for i in range(0, n_r, csz)
             ]
             np.save(
                 exact_path,
-                np.concatenate(outs).reshape(512, 512, 3).astype(np.float16),
+                np.concatenate(outs)
+                .reshape(height, width, 3)
+                .astype(np.float16),
             )
         exact = np.load(exact_path).astype(np.float32)
         mse_e = float(np.mean((img1 - exact) ** 2))
@@ -878,8 +902,11 @@ def main():
             smoke = vp.scene.load_ply("/root/reference/resources/smoke.ply")
             smoke.attrs["sigma_t"] = smoke.attrs["sigma_t"] * 10.0
             sky = vp.ops.envmap.procedural_sky()
+            # BENCH_PRB_RES: smoke knob (see main()); default matches the
+            # reference render_volume film
+            pres = int(os.environ.get("BENCH_PRB_RES", "256"))
             pcam = vp.scene.CameraSpecs(
-                name="prb", width=256, height=256,
+                name="prb", width=pres, height=pres,
                 to_world=vp.scene.look_at(
                     [-4.0, -0.3, 0.0], [0, 0, 0], [0, 1, 0]
                 ),
@@ -938,10 +965,12 @@ def main():
                 float(pjs(smoke, jnp.int32(i + 1)))
                 pts.append(time.perf_counter() - t0)
             prb_s = float(np.min(pts))
-            prb_mrays = 256 * 256 / prb_s / 1e6
+            prb_mrays = pres * pres / prb_s / 1e6
             prb512_ms = None
             if os.environ.get("BENCH_PRB512", "1") != "0":
-                pcam5 = dataclasses.replace(pcam, width=512, height=512)
+                pcam5 = dataclasses.replace(
+                    pcam, width=2 * pres, height=2 * pres
+                )
                 pjs5 = jax.jit(
                     lambda p, s: jnp.sum(
                         vmodels.render(
@@ -966,10 +995,14 @@ def main():
             # both use the exact-escape estimator, so they share the same
             # expectation).
             prb64_ms = mean64 = None
+            # BENCH_PRB64_SPP: smoke knob — the spp64 metric keys are only
+            # written at the reference's true spp=64
+            spp64 = int(os.environ.get("BENCH_PRB64_SPP", "64"))
             if os.environ.get("BENCH_PRB64", "1") != "0":
                 pj64 = jax.jit(
                     lambda p, s: vmodels.render(
-                        p, pcam, prb_mod.radiance, pcfg, sky, spp=64, seed=s
+                        p, pcam, prb_mod.radiance, pcfg, sky, spp=spp64,
+                        seed=s
                     )
                 )
                 img64 = np.asarray(pj64(smoke, jnp.int32(0)))
@@ -978,8 +1011,8 @@ def main():
                 pjs64 = jax.jit(
                     lambda p, s: jnp.sum(
                         vmodels.render(
-                            p, pcam, prb_mod.radiance, pcfg, sky, spp=64,
-                            seed=s,
+                            p, pcam, prb_mod.radiance, pcfg, sky,
+                            spp=spp64, seed=s,
                         )
                     )
                 )
@@ -1006,7 +1039,8 @@ def main():
                         "prb_smoke_256_spp64_ms": prb64_ms,
                         "prb_smoke_256_spp64_mean": round(mean64, 5),
                     }
-                    if prb64_ms is not None else {}
+                    if prb64_ms is not None and spp64 == 64 and pres == 256
+                    else {}
                 ),
             }
             print(
