@@ -741,71 +741,84 @@ def main():
     # ---- per-ray ordering quality mode (round-4 directive #3) -------------
     # order_band: banded per-ray entry-order correction inside the fused
     # kernel — the route PAST the shared-axis ordering ceiling (~31.1 dB at
-    # 262k). Config trades the class ladder for ONE near-zero-truncation
-    # budget (one extra Mosaic variant, not five): kernel_compact keeps the
-    # walk proportional to surviving columns, cluster_sort (feat_major)
-    # fixes intra-cluster order at pack time, band 16 fixes the residual
-    # cross-cluster inversions per ray. CPU probe at zero truncation:
-    # stream 30.2 -> csort 31.7 -> csort+band16 32.4 dB vs exact.
+    # 262k). Each point trades the class ladder for ONE single budget
+    # (one Mosaic variant per mc, not five): kernel_compact keeps the walk
+    # proportional to surviving columns, cluster_sort (feat_major) fixes
+    # intra-cluster order at pack time, the band fixes the residual
+    # cross-cluster inversions per ray. CPU probe vs platform-matched
+    # exact (tools/band262k.py): mc4096 30.20 -> csort+band16 31.96 dB;
+    # mc8192+csort+band16 33.49 dB (near-zero truncation). mc4096 runs
+    # FIRST: it is the candidate for the ">=31.5 dB at >12 Mrays" bar, so
+    # it must land even if the tunnel dies mid-bench.
     band_stats = {}
-    band0 = int(os.environ.get("BENCH_BAND", "16"))
-    if band0 > 0 and kind == "surface":
-        try:
-            bmc = int(os.environ.get("BENCH_BAND_MC", "8192"))
-            bcfg = rf_tiled.RFTiledConfig(
-                max_depth=128, tile_pixels=tp, max_candidates=bmc,
-                segment=min(seg0, bmc), cluster_size=cs, backend="fused",
-                early_exit=True, coarse_group=cg, refine_fraction=0.0,
-                refine_factor=4, kernel_batch=kb, coarse_factor=cf0,
-                super_group=sg0, budget_classes=(),
-                kernel_compact=True, feat_major=True, cluster_sort=True,
-                order_band=band0,
-            )
-            bstate = jax.jit(
-                lambda p: rf_tiled.build_state(p, bcfg)
-            )(scene)
-
-            def run_block_band(st, seed0):
-                def body(acc, i):
-                    img = rf_tiled.render_state(
-                        st, camera, bcfg, None, spp=spp, seed=seed0 + i
-                    )
-                    return acc + jnp.sum(img), None
-                acc, _ = jax.lax.scan(
-                    body, jnp.float32(0.0), jnp.arange(k_frames)
+    band_points = os.environ.get("BENCH_BAND_POINTS", "16:4096,16:8192")
+    if band_points and kind == "surface":
+        for pt_i, pt in enumerate(band_points.split(",")):
+            try:
+                band0, bmc = (int(v) for v in pt.split(":"))
+                bcfg = rf_tiled.RFTiledConfig(
+                    max_depth=128, tile_pixels=tp, max_candidates=bmc,
+                    segment=min(seg0, bmc), cluster_size=cs,
+                    backend="fused", early_exit=True, coarse_group=cg,
+                    refine_fraction=0.0, refine_factor=4, kernel_batch=kb,
+                    coarse_factor=cf0, super_group=sg0, budget_classes=(),
+                    kernel_compact=True, feat_major=True, cluster_sort=True,
+                    order_band=band0,
                 )
-                return acc
+                bstate = jax.jit(
+                    lambda p, c=bcfg: rf_tiled.build_state(p, c)
+                )(scene)
 
-            jbb = jax.jit(run_block_band)
-            float(jbb(bstate, jnp.int32(0)))
-            bts = []
-            for i in range(4):
-                t0 = time.perf_counter()
-                float(jbb(bstate, jnp.int32(2000 * (i + 1))))
-                bts.append(time.perf_counter() - t0)
-            band_s = float(np.min(bts)) / k_frames
-            band_mrays = n_rays / band_s / 1e6
-            imgb = np.asarray(
-                jax.jit(
-                    lambda st, s: rf_tiled.render_state(
-                        st, camera, bcfg, None, spp=1, seed=s, jitter=False
+                def run_block_band(st, seed0, c=bcfg):
+                    def body(acc, i):
+                        img = rf_tiled.render_state(
+                            st, camera, c, None, spp=spp, seed=seed0 + i
+                        )
+                        return acc + jnp.sum(img), None
+                    acc, _ = jax.lax.scan(
+                        body, jnp.float32(0.0), jnp.arange(k_frames)
                     )
-                )(bstate, jnp.int32(0))
-            )
-            mse_b = float(np.mean((imgb - exact) ** 2))
-            band_psnr = -10 * np.log10(max(mse_b, 1e-12))
-            band_stats = {
-                "rf_band_mrays": round(band_mrays, 3),
-                "rf_band_psnr_vs_exact_db": round(band_psnr, 2),
-                "rf_band_config": f"band{band0}_mc{bmc}_csort_compact_fm",
-            }
-            print(
-                f"order-band quality mode (band {band0}, mc {bmc}): "
-                f"{band_mrays:.2f} Mrays/s at {band_psnr:.2f} dB vs exact",
-                file=sys.stderr,
-            )
-        except Exception as e:  # keep the headline metric alive
-            print(f"order-band quality metric failed: {e}", file=sys.stderr)
+                    return acc
+
+                jbb = jax.jit(run_block_band)
+                float(jbb(bstate, jnp.int32(0)))
+                bts = []
+                for i in range(4):
+                    t0 = time.perf_counter()
+                    float(jbb(bstate, jnp.int32(2000 * (i + 1))))
+                    bts.append(time.perf_counter() - t0)
+                band_s = float(np.min(bts)) / k_frames
+                band_mrays = n_rays / band_s / 1e6
+                imgb = np.asarray(
+                    jax.jit(
+                        lambda st, s, c=bcfg: rf_tiled.render_state(
+                            st, camera, c, None, spp=1, seed=s,
+                            jitter=False,
+                        )
+                    )(bstate, jnp.int32(0))
+                )
+                mse_b = float(np.mean((imgb - exact) ** 2))
+                band_psnr = -10 * np.log10(max(mse_b, 1e-12))
+                # the first (criterion) point keeps the legacy keys
+                sfx = "" if pt_i == 0 else f"_mc{bmc}"
+                band_stats.update({
+                    f"rf_band_mrays{sfx}": round(band_mrays, 3),
+                    f"rf_band_psnr_vs_exact_db{sfx}": round(band_psnr, 2),
+                    f"rf_band_config{sfx}":
+                        f"band{band0}_mc{bmc}_csort_compact_fm",
+                })
+                _emit_partial(dict(band_stats))
+                print(
+                    f"order-band quality mode (band {band0}, mc {bmc}): "
+                    f"{band_mrays:.2f} Mrays/s at {band_psnr:.2f} dB "
+                    "vs exact",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # keep the headline metric alive
+                print(
+                    f"order-band quality metric ({pt}) failed: {e}",
+                    file=sys.stderr,
+                )
 
     stage = {
         "frame_ms": round(exec_s * 1e3, 1),
