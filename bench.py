@@ -42,6 +42,46 @@ import numpy as np
 _partial_started = False
 
 
+def _details_path() -> str:
+    """BENCH_DETAILS destination; BENCH_DETAILS_PATH redirects a trial run
+    (tools/autotune.py) away from the canonical repo-root file."""
+    return os.environ.get("BENCH_DETAILS_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+
+
+def _apply_tuning() -> None:
+    """Fold BENCH_TUNING.json (repo root) into the environment.
+
+    The file records flag flips DECIDED ON HARDWARE by tools/autotune.py
+    (e.g. BENCH_FM=1 after the feat_major A/B wins) so a later driver-run
+    bench executes the best measured configuration even when no builder
+    session is around to flip defaults. Explicit environment variables
+    always win over the file; delete the file to fall back to built-ins."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_TUNING.json"
+    )
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            tuning = json.load(f)
+    except Exception as e:
+        print(f"bench: ignoring unreadable BENCH_TUNING.json: {e}",
+              file=sys.stderr)
+        return
+    applied = {}
+    for k, v in tuning.items():
+        if k.startswith("_") or not k.startswith("BENCH_"):
+            continue  # provenance fields / refuse non-bench keys
+        if k not in os.environ:
+            os.environ[k] = str(v)
+            applied[k] = str(v)
+    if applied:
+        print(f"bench: applied BENCH_TUNING.json: {applied}",
+              file=sys.stderr)
+
+
 def _emit_partial(section: dict) -> None:
     """Merge a finished bench section into BENCH_DETAILS.json immediately.
 
@@ -54,9 +94,7 @@ def _emit_partial(section: dict) -> None:
     global _partial_started
     if os.environ.get("BENCH_NO_DETAILS", "0") == "1" or not section:
         return
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-    )
+    path = _details_path()
     data = {}
     if _partial_started and os.path.exists(path):
         try:
@@ -507,7 +545,9 @@ def _probe_backend(timeout_s: int = 600) -> None:
     tunnel exits rc=3 within ``timeout_s`` with a clear message. Bypass
     with BENCH_SKIP_PROBE=1 (the probe itself costs one extra device init
     when the backend is healthy, ~seconds)."""
-    if os.environ.get("BENCH_SKIP_PROBE", "0") == "1":
+    if os.environ.get("BENCH_SKIP_PROBE", "0") == "1" or (
+        os.environ.get("BENCH_FORCE_CPU", "0") == "1"
+    ):
         return
     import subprocess
 
@@ -539,7 +579,16 @@ def _probe_backend(timeout_s: int = 600) -> None:
 
 
 def main():
+    _apply_tuning()
+
     import jax
+
+    # The env-level JAX_PLATFORMS pin ignores os.environ overrides; the
+    # in-process config update is the only way to force CPU (CLAUDE.md).
+    # Smoke/validation runs (tools/autotune.py --dry, bench smoke) use it.
+    if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     import volprim_tpu as vp
@@ -1046,6 +1095,11 @@ def main():
             prb_stats = {
                 "prb_smoke_256_ms": round(prb_s * 1e3, 1),
                 "prb_smoke_mrays": round(prb_mrays, 3),
+                # 1spp mean radiance: the bias guard an estimator change
+                # (e.g. BENCH_PRB_WALK=pallas) must hold fixed
+                "prb_smoke_mean": round(
+                    float(np.mean(np.asarray(img_p))), 5
+                ),
                 **({"prb_smoke_512_ms": prb512_ms} if prb512_ms else {}),
                 **(
                     {
@@ -1108,8 +1162,7 @@ def main():
     # A/B sweeps (BENCH_NO_DETAILS=1) must not clobber the canonical
     # details of the default configuration
     if os.environ.get("BENCH_NO_DETAILS", "0") != "1":
-        with open(os.path.join(os.path.dirname(__file__) or ".",
-                               "BENCH_DETAILS.json"), "w") as f:
+        with open(_details_path(), "w") as f:
             json.dump(details, f, indent=1)
     print(
         json.dumps(
