@@ -72,8 +72,8 @@ def _apply_tuning() -> None:
         return
     applied = {}
     for k, v in tuning.items():
-        if k.startswith("_") or not k.startswith("BENCH_"):
-            continue  # provenance fields / refuse non-bench keys
+        if k.startswith("_") or not k.startswith(("BENCH_", "VOLPRIM_")):
+            continue  # provenance fields / refuse foreign keys
         if k not in os.environ:
             os.environ[k] = str(v)
             applied[k] = str(v)

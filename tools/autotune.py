@@ -144,12 +144,20 @@ def main():
     if "prb" not in args.skip and "prb_smoke_256_ms" in base:
         b_ms = base["prb_smoke_256_ms"]
         b_mean = base.get("prb_smoke_mean")
-        t = run_trial(
-            "prb_walk",
-            {"BENCH_PRB": "1", "BENCH_PRB_WALK": "pallas",
-             "BENCH_PRB512": "0", "BENCH_PRB64": "0"},
-            3 * 3600,
-        )
+        prb_env = {"BENCH_PRB": "1", "BENCH_PRB_WALK": "pallas",
+                   "BENCH_PRB512": "0", "BENCH_PRB64": "0"}
+        t = run_trial("prb_walk", prb_env, 3 * 3600)
+        erf_fallback = False
+        if not (t and "prb_smoke_256_ms" in t):
+            # Mosaic erf support is unverified (pallas_kernels/ffwalk.py):
+            # if the native-erf kernel failed to compile, the A&S 7.1.26
+            # polynomial (1.5e-7 abs err) is the designed fallback.
+            erf_fallback = True
+            t = run_trial(
+                "prb_walk_polyerf",
+                {**prb_env, "VOLPRIM_FFWALK_ERF": "poly"},
+                3 * 3600,
+            )
         if t and "prb_smoke_256_ms" in t:
             speed_ok = t["prb_smoke_256_ms"] <= b_ms * 0.97
             bias_ok = (
@@ -159,9 +167,12 @@ def main():
             )
             if speed_ok and bias_ok:
                 tuning["BENCH_PRB_WALK"] = "pallas"
+                if erf_fallback:
+                    tuning["VOLPRIM_FFWALK_ERF"] = "poly"
                 notes["prb"] = (
                     f"pallas walk {t['prb_smoke_256_ms']} ms vs {b_ms} ms "
-                    f"(mean {t.get('prb_smoke_mean')} vs {b_mean})"
+                    f"(mean {t.get('prb_smoke_mean')} vs {b_mean}"
+                    f"{', poly-erf fallback' if erf_fallback else ''})"
                 )
             else:
                 notes["prb"] = (
