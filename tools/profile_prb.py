@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--res", type=int, default=256,
+                    help="film side; shrink for off-TPU validation runs")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +46,7 @@ def main():
     smoke.attrs["sigma_t"] = smoke.attrs["sigma_t"] * 10.0
     sky = vp.ops.envmap.procedural_sky()
     pcam = vp.scene.CameraSpecs(
-        name="prb", width=256, height=256,
+        name="prb", width=args.res, height=args.res,
         to_world=vp.scene.look_at([-4.0, -0.3, 0.0], [0, 0, 0], [0, 1, 0]),
         fov=40.0,
     )
