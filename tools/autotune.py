@@ -37,8 +37,7 @@ import time
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 GATES = {
-    "BENCH_TRAIN": "0", "BENCH_PRB": "0", "BENCH_2M": "0",
-    "BENCH_PRB1M": "0", "BENCH_BAND_POINTS": "",
+    "BENCH_PRB": "0", "BENCH_PRB1M": "0", "BENCH_BAND_POINTS": "",
 }
 
 
@@ -92,17 +91,40 @@ def main():
 
     tuning, notes = {}, {}
 
+    def persist():
+        """Write accepted flips immediately after each decision — a
+        job-level timeout during a later trial must not lose them."""
+        if not tuning or args.dry:
+            return
+        path = os.path.join(_repo, "BENCH_TUNING.json")
+        existing = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    existing = json.load(f)
+            except Exception:
+                existing = {}
+        existing.update(tuning)
+        existing["_decided_by"] = "tools/autotune.py"
+        existing["_notes"] = {**existing.get("_notes", {}), **notes}
+        with open(path, "w") as f:
+            json.dump(existing, f, indent=1)
+        print(f"[autotune] wrote {path}: {tuning}", flush=True)
+
     # ---- 1. rf headline: feat_major (+ cluster_sort) -----------------------
-    # BENCH_FM feeds the headline AND the train section (bench.py tcfg):
-    # keep BENCH_TRAIN on so the flip's train fwd/bwd Mosaic variants are
-    # warmed (and sanity-checked) by the trial itself.
+    # BENCH_FM feeds the headline, the train section (bench.py tcfg), AND
+    # the 2M section (bench_2m replaces classes/md/cf on the headline cfg
+    # but inherits feat_major/cluster_sort): keep TRAIN and 2M on so the
+    # flip's Mosaic variants for all three are warmed (and sanity-checked)
+    # by the trial itself — a cold flip would cost the driver bench hours.
     if "fm" not in args.skip and "rf_mrays" in base:
         b_mrays = base["rf_mrays"]
         b_psnr = base.get("rf_psnr_vs_exact_db")
         t = run_trial(
             "fm_csort",
-            {"BENCH_FM": "1", "BENCH_CSORT": "1", "BENCH_TRAIN": "1"},
-            5 * 3600,
+            {"BENCH_FM": "1", "BENCH_CSORT": "1",
+             "BENCH_TRAIN": "1", "BENCH_2M": "1"},
+            8 * 3600,
         )
 
         def ok(d):
@@ -125,7 +147,9 @@ def main():
             # speed won but quality paid: try feat_major alone (same
             # Mosaic variants — cluster_sort is XLA-side pack ordering)
             t2 = run_trial(
-                "fm_only", {"BENCH_FM": "1", "BENCH_TRAIN": "1"}, 2 * 3600
+                "fm_only",
+                {"BENCH_FM": "1", "BENCH_TRAIN": "1", "BENCH_2M": "1"},
+                3 * 3600,
             )
             if ok(t2):
                 tuning["BENCH_FM"] = "1"
@@ -139,13 +163,15 @@ def main():
                 notes["fm"] = "rejected (quality cost with and without csort)"
         else:
             notes["fm"] = "rejected (no >=2% speed win)" if t else "trial failed"
+        persist()
 
     # ---- 2. prb fused window walk ------------------------------------------
     if "prb" not in args.skip and "prb_smoke_256_ms" in base:
         b_ms = base["prb_smoke_256_ms"]
         b_mean = base.get("prb_smoke_mean")
         prb_env = {"BENCH_PRB": "1", "BENCH_PRB_WALK": "pallas",
-                   "BENCH_PRB512": "0", "BENCH_PRB64": "0"}
+                   "BENCH_PRB512": "0", "BENCH_PRB64": "0",
+                   "BENCH_TRAIN": "0", "BENCH_2M": "0"}
         t = run_trial("prb_walk", prb_env, 3 * 3600)
         erf_fallback = False
         if not (t and "prb_smoke_256_ms" in t):
@@ -183,21 +209,7 @@ def main():
             notes["prb"] = "trial failed"
 
     print(f"[autotune] decisions: tuning={tuning} notes={notes}", flush=True)
-    if tuning and not args.dry:
-        path = os.path.join(_repo, "BENCH_TUNING.json")
-        existing = {}
-        if os.path.exists(path):
-            try:
-                with open(path) as f:
-                    existing = json.load(f)
-            except Exception:
-                existing = {}
-        existing.update(tuning)
-        existing["_decided_by"] = "tools/autotune.py"
-        existing["_notes"] = {**existing.get("_notes", {}), **notes}
-        with open(path, "w") as f:
-            json.dump(existing, f, indent=1)
-        print(f"[autotune] wrote {path}", flush=True)
+    persist()
     return 0
 
 
