@@ -75,6 +75,7 @@ def test_apply_tuning_env_wins(tmp_path, monkeypatch):
                 {
                     "BENCH_FM": "1",
                     "BENCH_CSORT": "1",
+                    "VOLPRIM_FFWALK_ERF": "poly",
                     "_decided_by": "test",
                     "NOT_A_BENCH_KEY": "1",
                 },
@@ -83,14 +84,18 @@ def test_apply_tuning_env_wins(tmp_path, monkeypatch):
         monkeypatch.delenv("BENCH_FM", raising=False)
         monkeypatch.setenv("BENCH_CSORT", "0")  # explicit env must win
         monkeypatch.delenv("NOT_A_BENCH_KEY", raising=False)
+        monkeypatch.delenv("VOLPRIM_FFWALK_ERF", raising=False)
         b._apply_tuning()
         assert os.environ["BENCH_FM"] == "1"
         assert os.environ["BENCH_CSORT"] == "0"
+        assert os.environ["VOLPRIM_FFWALK_ERF"] == "poly"
         assert "NOT_A_BENCH_KEY" not in os.environ
     finally:
         os.remove(tuning_path)
-        os.environ.pop("BENCH_FM", None)  # set by _apply_tuning, not
-        # by monkeypatch — it would leak into later tests otherwise
+        # set by _apply_tuning, not by monkeypatch — they would leak
+        # into later tests otherwise
+        os.environ.pop("BENCH_FM", None)
+        os.environ.pop("VOLPRIM_FFWALK_ERF", None)
 
 
 def test_apply_tuning_missing_file_is_noop(tmp_path, monkeypatch):
