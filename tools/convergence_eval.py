@@ -18,6 +18,7 @@ Usage: python tools/convergence_eval.py [--iters 150] [--prims 2000]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -32,6 +33,8 @@ def main():
     ap.add_argument("--prims", type=int, default=2000)
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--band", action="store_true",
+                    help="also train through the csort+band16 quality mode")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +107,14 @@ def main():
         max_candidates=1024, segment=128, cluster_size=16, backend="xla",
         use_clusters=True,
     )
+    # the band quality mode (order_band, round 4): same pipeline plus the
+    # intra-cluster entry sort and the banded per-ray order correction —
+    # trains through the mul/div prefix form (plain AD; the fused
+    # backend's banded custom-VJP adjoint is tested to match it,
+    # tests/test_rf_tiled.py::test_order_band_fused_matches_xla)
+    bcfg = dataclasses.replace(
+        tcfg, prim_resort="cluster-entry", order_band=16
+    )
 
     def to_scene(p):
         return scene.EllipsoidScene(
@@ -124,9 +135,10 @@ def main():
             if renderer == "exact":
                 img = render_exact(prims, train_cams[ci])
             else:
-                st = rf_tiled.build_state(prims, tcfg)
+                c = bcfg if renderer == "band" else tcfg
+                st = rf_tiled.build_state(prims, c)
                 img = rf_tiled.render_state(
-                    st, train_cams[ci], tcfg, None, spp=1, seed=0,
+                    st, train_cams[ci], c, None, spp=1, seed=0,
                     jitter=False,
                 )
             return optim.l1(jnp.asarray(refs[ci]), img)
@@ -164,6 +176,14 @@ def main():
     p_tiled = train("tiled")
     psnr_tiled = psnr_exact(p_tiled)
     print(f"tiled-trained, exact-evaluated: {psnr_tiled:.2f} dB", flush=True)
+    psnr_band = None
+    if args.band:
+        p_band = train("band")
+        psnr_band = psnr_exact(p_band)
+        print(
+            f"band-trained (csort+band16), exact-evaluated: "
+            f"{psnr_band:.2f} dB", flush=True,
+        )
     p_exact = train("exact")
     psnr_ex = psnr_exact(p_exact)
     print(f"exact-trained, exact-evaluated: {psnr_ex:.2f} dB", flush=True)
@@ -172,6 +192,12 @@ def main():
         f"{psnr_tiled - psnr_ex:+.2f} dB",
         flush=True,
     )
+    if psnr_band is not None:
+        print(
+            f"delta (band-trained - exact-trained): "
+            f"{psnr_band - psnr_ex:+.2f} dB",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
