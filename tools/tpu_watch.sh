@@ -1,16 +1,19 @@
 #!/bin/bash
-# TPU-recovery watcher (round-3/4 long-outage operating pattern, CLAUDE.md).
+# TPU-recovery watcher v2 (round-3/4 long-outage operating pattern, CLAUDE.md).
 # Probes the axon tunnel every 10 min; when alive, drains the job queue at
 # tools/tpu_queue.d/*.sh IN ORDER (one TPU job at a time — Mosaic compiles
-# contend server-side). Finished jobs move to tools/tpu_queue.d/done/ (or
-# failed/). New jobs can be added to the queue while the watcher runs.
+# contend server-side). Finished jobs move to tools/tpu_queue.d/done/.
+# v2: a job that fails (e.g. the tunnel died mid-run) is requeued up to two
+# times as <name>.retryN.sh (sorts into the same queue position) before
+# landing in failed/ — a mid-bench tunnel drop must not permanently skip
+# the driver-verification run. New jobs can be added while the watcher runs.
 # Logs to /root/repo/tpu_watch.log. PID in /tmp/tpu_watch.pid.
 set -u
 cd /root/repo
 LOG=/root/repo/tpu_watch.log
 QD=/root/repo/tools/tpu_queue.d
 mkdir -p "$QD/done" "$QD/failed"
-echo "[watch] start $(date -u +%FT%TZ)" >> "$LOG"
+echo "[watch] v2 start $(date -u +%FT%TZ)" >> "$LOG"
 while true; do
   jobs=("$QD"/*.sh)
   if [ ! -e "${jobs[0]}" ]; then
@@ -34,7 +37,18 @@ EOF
       if [ $rc -eq 0 ]; then
         mv "$job" "$QD/done/"
       else
-        mv "$job" "$QD/failed/"
+        base=$(basename "$job" .sh)
+        n=0
+        if [[ "$base" =~ ^(.*)\.retry([0-9]+)$ ]]; then
+          base="${BASH_REMATCH[1]}"; n="${BASH_REMATCH[2]}"
+        fi
+        if [ "$n" -lt 2 ]; then
+          mv "$job" "$QD/$base.retry$((n + 1)).sh"
+          echo "[watch] requeued as $base.retry$((n + 1)).sh" >> "$LOG"
+        else
+          mv "$job" "$QD/failed/$base.sh"
+          echo "[watch] giving up on $base after $n retries" >> "$LOG"
+        fi
         break   # re-probe before continuing (tunnel may have died mid-job)
       fi
     done
