@@ -67,6 +67,12 @@ def measure(
     compiled = lowered.compile()
     compile_ms = (time.perf_counter() - t0) * 1e3
 
+    # AOT-compiled callables take only the *traced* arguments — static ones
+    # were baked in at lower() time and must be dropped from the call.
+    if static_argnums:
+        static = set(static_argnums)
+        args = tuple(a for i, a in enumerate(args) if i not in static)
+
     for _ in range(nb_dry_runs):
         _block(compiled(*args, **kwargs))
 
