@@ -912,6 +912,17 @@ def _render_tiles(
             kb = cfg.kernel_batch
             while tb % kb:
                 kb -= 1
+            if cfg.feat_major:
+                # Mosaic tiling rule: the feat-major pf/sh blocks are
+                # [F, kb, S], so kb sits in the second-to-last block dim
+                # and must be a multiple of 8 (or equal the array's tile
+                # dim). CPU interpret mode never checks this — the (8,128)
+                # divisibility error only fires on real TPU lowering.
+                # Round-3 measurement: kernel_batch 8 is timing-neutral.
+                kb8 = max(kb - kb % 8, 8)
+                while kb8 > 8 and tb % kb8:
+                    kb8 -= 8
+                kb = kb8 if tb % kb8 == 0 else tb
             # spp folding: stack `fold` samples' rays on the kernel's ray
             # axis — one shortlist walk serves all folded samples (pf/sh
             # DMA and per-segment fixed costs amortize; GEMM rows grow
