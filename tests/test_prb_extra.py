@@ -149,3 +149,85 @@ def test_compaction_statistically_equivalent():
     np.testing.assert_array_equal(b, b2)  # deterministic
     assert np.isfinite(b).all()
     assert abs(a.mean() - b.mean()) < 0.01, (a.mean(), b.mean())
+
+
+def test_recollection_rounds_resolve_long_chain():
+    """Re-collection rounds (round 4): a ray crossing far more intervals
+    than collect_budget must RESUME past the collection bound instead of
+    budget-dying (the round-3 one-shot collection killed 100% of rays on
+    the bench's overlapped stress scene), and must agree with the exact
+    jump-path escape decision on rays neither path kills. A chain keeps
+    the SIMULTANEOUS overlap (~5) below max_overlaps while the total
+    interval count (~240) needs ~10 collection rounds at budget 24 —
+    capacity rules match the reference's overlap stack: simultaneous
+    overlap must fit the window; total length no longer needs to fit the
+    collection budget."""
+    s = chain_scene(240, sigma_t=0.003, albedo=0.0)
+    n = 512
+    rng = np.random.default_rng(7)
+    off = rng.uniform(-0.2, 0.2, (n, 2)).astype(np.float32)
+    o = jnp.asarray(
+        np.concatenate([off, np.full((n, 1), -3.0, np.float32)], axis=-1)
+    )
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    xi = jax.random.uniform(jax.random.PRNGKey(1), (n,), minval=1e-7)
+    act = jnp.ones((n,), bool)
+
+    tight = PRBConfig(
+        max_overlaps=8, max_windows=4, collect_budget=24,
+        collect_rounds=24, chunk_size=128, jump=False,
+    )
+    exact = PRBConfig(max_overlaps=8, max_windows=16, chunk_size=128)
+    f_t, dead_t, t_t, _, _, _ = free_flight(s, o, d, xi, tight, act)
+    f_e, dead_e, t_e, _, _, _ = free_flight(s, o, d, xi, exact, act)
+    f_t, dead_t, f_e, dead_e = (
+        np.asarray(f_t), np.asarray(dead_t), np.asarray(f_e),
+        np.asarray(dead_e),
+    )
+    # the rounds must rescue the wavefront from the tiny per-round budget
+    assert dead_t.mean() < 0.02, dead_t.mean()
+    # the config must actually produce both outcomes for the test to mean
+    # anything
+    assert 0.05 < f_e.mean() < 0.95, f_e.mean()
+    live = ~dead_t & ~dead_e
+    agree = (f_t == f_e)[live].mean()
+    assert agree > 0.98, agree
+    both = f_t & f_e
+    assert both.any()
+    t_t, t_e = np.asarray(t_t), np.asarray(t_e)
+    rel = np.abs(t_t[both] - t_e[both]) / np.maximum(t_e[both], 1e-6)
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_recollection_rounds_cluster_path():
+    """The cluster-index collection must also resume across rounds (its
+    per-round reach is bounded by both the interval budget and the
+    cluster-candidate pool)."""
+    s = chain_scene(240, sigma_t=0.003, albedo=0.0)
+    n = 256
+    rng = np.random.default_rng(11)
+    off = rng.uniform(-0.2, 0.2, (n, 2)).astype(np.float32)
+    o = jnp.asarray(
+        np.concatenate([off, np.full((n, 1), -3.0, np.float32)], axis=-1)
+    )
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    xi = jax.random.uniform(jax.random.PRNGKey(2), (n,), minval=1e-7)
+    act = jnp.ones((n,), bool)
+
+    cl = PRBConfig(
+        max_overlaps=8, max_windows=4, collect_budget=24,
+        collect_rounds=24, use_clusters=True, cluster_size=32,
+        chunk_size=128,
+    )
+    exact = PRBConfig(max_overlaps=8, max_windows=16, chunk_size=128)
+    index = prb.build_ff_index(s, cl)
+    f_c, dead_c, t_c, _, _, _ = free_flight(s, o, d, xi, cl, act, index=index)
+    f_e, dead_e, t_e, _, _, _ = free_flight(s, o, d, xi, exact, act)
+    f_c, dead_c, f_e, dead_e = (
+        np.asarray(f_c), np.asarray(dead_c), np.asarray(f_e),
+        np.asarray(dead_e),
+    )
+    assert dead_c.mean() < 0.02, dead_c.mean()
+    live = ~dead_c & ~dead_e
+    agree = (f_c == f_e)[live].mean()
+    assert agree > 0.98, agree

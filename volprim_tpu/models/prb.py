@@ -107,6 +107,19 @@ class PRBConfig:
     #                          default (prb:60). Rays needing more die
     #                          (prb:456-459), exactly like the reference's
     #                          budget kill.
+    # Re-collection rounds (round 4, non-jump walk only — the jump path
+    # decides escape from the complete streamed density and never needs
+    # them): rays pinned at the collection budget RESUME — collection
+    # restarts at the pinned distance (straddling intervals re-enter with
+    # clamped entries; the window walk already integrates [t_min, t_limit)
+    # exactly) and the walk continues with the carried transmittance,
+    # like the reference's BVH march which keeps querying as it advances.
+    # Rounds with no pinned rays are lax.cond-skipped (one any() reduce),
+    # so benign scenes pay nothing; the body is traced once (lax.scan).
+    # Without this, a collect_budget=128 walk on an ~80x-overlapped scene
+    # budget-killed 100% of rays (round-4 bench kill metric). 1 restores
+    # the single-shot round-3 behavior.
+    collect_rounds: int = 8
     # Adaptive per-bounce capacity (round 3): bounces >= tail_after run
     # with these smaller caps (0 = inherit the main cap). Cost per bounce
     # is proportional to collected intervals + walked window capacity;
@@ -343,6 +356,7 @@ def _collect_intervals(
     o: jnp.ndarray,
     d: jnp.ndarray,
     cfg: "PRBConfig",
+    t_start: Optional[jnp.ndarray] = None,
 ):
     """All per-bounce interval collection, ONCE per bounce (round-2 design).
 
@@ -365,6 +379,12 @@ def _collect_intervals(
     kp = cfg.interval_budget
     r = o.shape[0]
     inf = jnp.inf
+    # Resumable collection (round 4): t_start [R] collects the kp nearest
+    # intervals with exit > t_start, entries clamped to t_start —
+    # re-collection rounds continue a budget-pinned walk from where it
+    # stopped. None/zeros = the original from-the-origin collection.
+    if t_start is None:
+        t_start = jnp.zeros((r,), o.dtype)
 
     if not cfg.use_clusters:
         kern = cfg.kernel
@@ -372,9 +392,8 @@ def _collect_intervals(
             kern.type == "gaussian" and not kern.normalized
             and not kern.full_range
         )
-        zeros = jnp.zeros((r,), o.dtype)
         entry, exit_t, ids, count, full_tau = _gather_intervals(
-            primitives, o, d, zeros, kp, cfg.chunk_size,
+            primitives, o, d, t_start, kp, cfg.chunk_size,
             kern=kern if fast else None, coeff_gemm=cfg.coeff_gemm,
         )
         t_budget = jnp.where(count >= kp, entry[:, -1], inf)
@@ -391,13 +410,29 @@ def _collect_intervals(
     depth = vx * d[:, 0:1] + vy * d[:, 1:2] + vz * d[:, 2:3]
     closest2 = vx * vx + vy * vy + vz * vz - depth * depth
     radii = index.radii[None, :]
-    hit = (closest2 <= radii * radii) & (depth + radii > 0.0)
-    ekey = jnp.where(hit, jnp.maximum(depth - radii, 0.0), inf)
+    ts = t_start[:, None]
+    hit = (closest2 <= radii * radii) & (depth + radii > ts)
+    ekey = jnp.where(hit, jnp.maximum(depth - radii, ts), inf)
 
-    # Auto-sizing: the kp nearest *intervals* are spread over roughly
-    # kp / (cs * hit-fraction) clusters; assume ~1/3 of the primitives in an
-    # intersected cluster actually intersect the ray.
-    k_cl = cfg.cluster_candidates or max(8, -(-3 * kp // cs))
+    # Auto-sizing (round-4 rework): two lower bounds matter.
+    # (a) Interval coverage: the kp nearest intervals spread over
+    #     ~kp/(cs * hit-fraction) clusters — but the per-cluster hit
+    #     fraction is scene-dependent and can be ~0.6% (80x-overlapped
+    #     smoke copies: tiny prims, fat cluster spheres), not the ~1/3 a
+    #     compact scene gives, so a coverage-only formula collected ZERO
+    #     intervals there (round-4 bench kill metric).
+    # (b) March progress: re-collection rounds advance past t only when
+    #     every cluster sphere STRADDLING t is selected (an excluded
+    #     straddler pins t_budget_cl at t); measured straddler maxima are
+    #     68 (66k stress scene) / 126 (1M), so the floor buys 4096//cs
+    #     = 128 clusters (cs 32). Denser media stall honestly (the
+    #     rounds' no-progress guard kills those rays — visible in the
+    #     kill-fraction metrics, not silently biased). Candidates stream
+    #     in bounded groups, so a generous floor costs compute linear in
+    #     k_cl, never memory; cluster_candidates overrides.
+    k_cl = cfg.cluster_candidates or max(
+        8, -(-3 * kp // cs), -(-4096 // cs)
+    )
     k_cl = min(k_cl, ncl)
     kk = min(k_cl + 1, ncl)  # +1 row learns the exact overflow bound
     neg, sel_all = jax.lax.top_k(-ekey, kk)
@@ -437,8 +472,8 @@ def _collect_intervals(
         valid, t_near, t_far = quadric.intersect_extent(coeffs, prims.extent)
         t_near = jax.lax.stop_gradient(t_near)
         t_far = jax.lax.stop_gradient(t_far)
-        valid = valid & cand_valid & (t_far > 0.0)
-        entry = jnp.where(valid, jnp.maximum(t_near, 0.0), inf)
+        valid = valid & cand_valid & (t_far > ts[:, 0:1])
+        entry = jnp.where(valid, jnp.maximum(t_near, ts[:, 0:1]), inf)
         cat_e = jnp.concatenate([entry_k, entry], axis=-1)
         cat_x = jnp.concatenate(
             [exit_k, jnp.where(valid, t_far, inf)], axis=-1
@@ -906,11 +941,15 @@ def free_flight(
                 win_active & ~found_w & (~full | hit_cap)
             )
             # pinned at the budget: no further progress is possible
+            # within THIS collection (re-collection rounds resume there)
             bdead = bdead | (
                 win_active & ~found_w & full & ~hit_cap
                 & (t_limit >= t_budget_w)
             )
-            t_min = jnp.where(win_active & ~resolved & ~bdead, t_limit, t_min)
+            # advance unresolved rays INCLUDING newly-pinned ones: trans
+            # is integrated to t_limit either way, so t_min is the exact
+            # resume point for the re-collection rounds
+            t_min = jnp.where(win_active & ~resolved, t_limit, t_min)
             return (
                 t_min, trans, found, resolved, bdead, t_samp, albedo,
                 density_at_sample,
@@ -930,9 +969,11 @@ def free_flight(
          density_at_sample), _ = (
             jax.lax.scan(window_step, init, None, length=n_windows)
         )
+        # t_min is the exact stop position of every unresolved ray (trans
+        # is integrated to it) — the re-collection rounds' resume point.
         return (
             found, resolved, bdead, t_samp, albedo, density_at_sample,
-            trans,
+            trans, t_min,
         )
 
     # ---- exact F(t) at a point: entered full taus minus the still-open
@@ -1073,10 +1114,16 @@ def free_flight(
             jnp.where(esc, t_res, 1.0),
         )
         trans = jnp.where(esc, jnp.exp(-jnp.maximum(f_res, 0.0)), 1.0)
+        # 8th output (resume point): the kernel does not expose its final
+        # walk position, and this wrapper's trans/escape recomputation
+        # assumes the table covers the density from t = 0 — so the
+        # re-collection rounds are gated off for this backend (see the
+        # non-jump branch) and the slot only mirrors the XLA signature.
         return (
             found, resolved, bdead,
             jnp.where(found, t_samp, jnp.inf),
             albedo, density_at_sample, trans,
+            jnp.where(bdead, t_budget_w, jnp.inf),
         )
 
     run_windows = (
@@ -1099,14 +1146,66 @@ def free_flight(
     if not use_jump:
         if _FF_STOP == "collect":
             return _ff_stop_out(entry_all, exit_all, t_budget)
-        # sequential walk from t = 0 over the full wavefront
-        found, resolved, bdead, t_samp, albedo, density_at_sample, trans = (
-            run_windows(
-                o, d, xi, entry_all, exit_all, ids_all, t_budget, t_cap,
-                active, jnp.zeros((r,), o.dtype), jnp.ones((r,), o.dtype),
-                cfg.max_windows,
-            )
+        # round 1: sequential walk from t = 0 over the full wavefront
+        (found, resolved, bdead, t_samp, albedo, density_at_sample, trans,
+         t_stop) = run_windows(
+            o, d, xi, entry_all, exit_all, ids_all, t_budget, t_cap,
+            active, jnp.zeros((r,), o.dtype), jnp.ones((r,), o.dtype),
+            cfg.max_windows,
         )
+        # Re-collection rounds (round 4): unresolved rays RESUME — the
+        # walk stopped at a known position (t_stop: t_budget for
+        # collection-pinned rays, the last window boundary for
+        # window-exhausted ones) with the transmittance integrated
+        # exactly to it, so collection restarts there (straddling
+        # intervals re-enter with clamped entries) and the walk
+        # continues, like the reference's BVH march which keeps querying
+        # geometry as it advances. Escape then resolves exactly in the
+        # first round whose collection no longer saturates. Rays whose
+        # re-collection cannot advance (>= budget intervals or >= k_cl
+        # straddling clusters at the pinned point) die honestly. Rounds
+        # with no pending rays cost one any() reduce (lax.cond skip).
+        # The opt-in pallas walk keeps single-round semantics: its
+        # wrapper recomputes escape transmittance assuming the table
+        # covers the density from t = 0, which resumed tables violate.
+        n_extra = (
+            max(0, int(cfg.collect_rounds) - 1)
+            if run_windows is _run_windows else 0
+        )
+        if n_extra:
+            def _round(c):
+                (found, resolved, t_samp, albedo, dens, trans, t_from,
+                 pending) = c
+                e2, x2, i2, tb2, _ = _collect_intervals(
+                    primitives, index, o, d, cfg, t_start=t_from
+                )
+                f2, res2, bd2, ts2, alb2, dens2, tr2, tstop2 = run_windows(
+                    o, d, xi, e2, x2, i2, tb2, t_cap, pending,
+                    t_from, trans, cfg.max_windows,
+                )
+                nf = pending & f2
+                found = found | nf
+                resolved = resolved | (pending & res2)
+                t_samp = jnp.where(nf, ts2, t_samp)
+                albedo = jnp.where(nf[:, None], alb2, albedo)
+                dens = jnp.where(nf, dens2, dens)
+                trans = jnp.where(pending, tr2, trans)
+                still = pending & ~res2 & (tstop2 > t_from)
+                t_from = jnp.where(still, tstop2, t_from)
+                return (found, resolved, t_samp, albedo, dens, trans,
+                        t_from, still)
+
+            def round_step(carry, _):
+                return jax.lax.cond(
+                    jnp.any(carry[-1]), _round, lambda c: c, carry
+                ), None
+
+            init = (
+                found, resolved, t_samp, albedo, density_at_sample, trans,
+                t_stop, active & ~resolved & jnp.isfinite(t_stop),
+            )
+            (found, resolved, t_samp, albedo, density_at_sample, trans,
+             _, _), _ = jax.lax.scan(round_step, init, None, length=n_extra)
         dead = active & ~resolved  # window/collection budget exhausted
         escaped = active & resolved & ~found
         score_found = _score_ratio(density_at_sample, found)
@@ -1187,6 +1286,7 @@ def free_flight(
                     jnp.full((wc,), jnp.inf, o.dtype),
                     jnp.zeros((wc, 3), o.dtype),
                     jnp.ones((wc,), o.dtype), jnp.ones((wc,), o.dtype),
+                    jnp.full((wc,), jnp.inf, o.dtype),
                 )
 
             def walk(_):
@@ -1218,7 +1318,8 @@ def free_flight(
             ),
         )
         inv = jnp.argsort(order)
-        (w_found, w_resolved, w_bdead, w_tsamp, w_alb, w_dens, w_trans) = (
+        (w_found, w_resolved, w_bdead, w_tsamp, w_alb, w_dens, w_trans,
+         _w_tstop) = (
             jnp.take(x.reshape((r,) + x.shape[2:]), inv, axis=0)
             for x in outs
         )
@@ -1229,7 +1330,8 @@ def free_flight(
         )
         tb_f = jnp.where(cnt_f >= kp, e_f[:, -1], jnp.inf)
         tf_f = jnp.where(jnp.isfinite(e_f), ft_f, 0.0)
-        (w_found, w_resolved, w_bdead, w_tsamp, w_alb, w_dens, w_trans) = (
+        (w_found, w_resolved, w_bdead, w_tsamp, w_alb, w_dens, w_trans,
+         _w_tstop) = (
             _jump_walk(
                 o, d, xi, e_f, x_f, i_f, tf_f, tb_f, t_cap, needy,
             )
