@@ -286,6 +286,21 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
             (float(p.split(":")[0]), int(p.split(":")[1]))
             for p in cls2.split(",") if p
         )
+    # round-5 quality levers toward the ~25.9 dB 2M ordering ceiling:
+    # - BENCH_2M_CSORT (default 1): pack-time intra-cluster entry sort —
+    #   a pure data permute (no new Mosaic variant), +0.2-0.3 dB on the
+    #   CPU probes (diag2m csort rows), ~2-5 ms/frame argsort cost.
+    # - BENCH_2M_BAND (opt-in CSV, e.g. "0,0,0,16"): per-class banding —
+    #   bands only the listed classes; each banded (tile-count, S) pair
+    #   is a FRESH Mosaic variant, so warm it via a queue job before any
+    #   driver bench.
+    if os.environ.get("BENCH_2M_CSORT", "1") == "1":
+        repl["cluster_sort"] = True
+    band2 = os.environ.get("BENCH_2M_BAND", "")
+    if band2:
+        repl["band_classes"] = tuple(
+            int(v) for v in band2.split(",") if v != ""
+        )
     cfg = dataclasses.replace(cfg, **repl)
     state = jax.jit(lambda p: rf_tiled.build_state(p, cfg))(scene2)
     spp = 2
@@ -408,6 +423,11 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
         "rf_2M_mrays": round(mrays, 3),
         "rf_2M_psnr_vs_exact_db": round(psnr, 2),
         "rf_2M_hbm_peak_gib": round(hbm_peak / 2**30, 3),
+        "rf_2M_config": (
+            f"md{md2}_cf{cf2}_cls{cls2}"
+            + ("_csort" if cfg.cluster_sort else "")
+            + (f"_band{band2}" if band2 else "")
+        ),
     }
 
     # Quality row: full per-tile ENTRY-distance resort before packing —
@@ -474,11 +494,20 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
 
 
 def bench_prb_cluster_1m(jax, jnp, vp):
-    """prb's cluster-gathering path (the stated >1M-primitive design,
-    use_clusters=True) exercised at 1M primitives: free-flight interval
-    collection through the Morton-cluster hierarchy vs the brute chunk
-    scan on the same rays (VERDICT round-2 #3). Returns agreement stats +
-    timing for both paths."""
+    """prb free flight at 1M primitives. The BRUTE chunk scan is the
+    declared scaling design (round-5 decision, VERDICT r4 #2b): the
+    round-4 hardware A/B measured the cluster-gathering path 7x SLOWER
+    than brute at this scale (11,949 vs 1,720 ms, BENCH_r04) with 25%
+    kill disagreement — per-element gathers at ~5 ns/element lose to
+    regular GEMM chunk scans up to (at least) 1M prims. This bench now
+
+    - times the brute design point,
+    - quantifies the budget-kill bias against a need-sized GOLDEN
+      (collect_budget >= the measured max per-ray interval count, so the
+      golden budget-kills ~nothing — the reference's march is uncapped by
+      default, common.py:448-459), and
+    - keeps the demoted cluster path as an opt-in experiment
+      (BENCH_PRB1M_CLUSTER=1) so its A/B stats stay measurable."""
     import time as _time
 
     from volprim_tpu.models import prb as prb_mod
@@ -521,15 +550,10 @@ def bench_prb_cluster_1m(jax, jnp, vp):
     xi = jnp_.asarray(rng.uniform(1e-6, 1.0, r).astype(np.float32))
     act = jnp_.ones((r,), bool)
 
-    cfg_cl = prb_mod.PRBConfig(
-        max_overlaps=8, max_windows=16, collect_budget=128,
-        use_clusters=True, cluster_size=32, chunk_size=4096,
-    )
     cfg_br = prb_mod.PRBConfig(
         max_overlaps=8, max_windows=16, collect_budget=128,
         use_clusters=False, chunk_size=4096,
     )
-    index = prb_mod.build_ff_index(big, cfg_cl)
 
     def ff(cfg, idx, seed):
         oo = o + seed.astype(jnp_.float32) * 1e-12
@@ -538,33 +562,12 @@ def bench_prb_cluster_1m(jax, jnp, vp):
         )
         return found, ts, dead
 
-    j_cl = jax.jit(lambda s: ff(cfg_cl, index, s))
     j_br = jax.jit(lambda s: ff(cfg_br, None, s))
-    f_cl, t_cl, d_cl = j_cl(jnp_.int32(0))
     f_br, t_br, d_br = j_br(jnp_.int32(0))
-    f_cl, f_br = np.asarray(f_cl), np.asarray(f_br)
-    t_cl, t_br = np.asarray(t_cl), np.asarray(t_br)
-    # Disagreements concentrate on budget-KILLED rays (the documented
-    # max_depth_primitive-style kill; the cluster path's conservative
-    # t_budget bound is tighter than brute's): among rays neither path
-    # killed, found-agreement measured exactly 1.0 on a 157x-overlapped
-    # stress scene. Report both.
-    d_cl_np, d_br_np = np.asarray(d_cl), np.asarray(d_br)
-    live = ~d_cl_np & ~d_br_np
-    # Budget-kill fractions are first-class metrics (round-3 verdict #7):
-    # a silent growth in kill rate would otherwise be invisible behind the
-    # live-ray agreement number.
-    kill_cl = float(d_cl_np.mean())
+    f_br = np.asarray(f_br)
+    t_br = np.asarray(t_br)
+    d_br_np = np.asarray(d_br)
     kill_br = float(d_br_np.mean())
-    kill_disagree = float((d_cl_np != d_br_np).mean())
-    agree_found = float((f_cl == f_br).mean())
-    agree_live = (
-        float((f_cl == f_br)[live].mean()) if live.any() else 1.0
-    )
-    both = f_cl & f_br
-    t_rel = float(
-        np.max(np.abs(t_cl[both] - t_br[both]) / np.maximum(t_br[both], 1e-6))
-    ) if both.any() else 0.0
 
     def timeit(fn):
         ts_ = []
@@ -575,26 +578,83 @@ def bench_prb_cluster_1m(jax, jnp, vp):
             ts_.append(_time.perf_counter() - t0)
         return float(np.min(ts_)) * 1e3
 
-    ms_cl = timeit(j_cl)
     ms_br = timeit(j_br)
+
+    # ---- budget-kill bias vs a need-sized golden -------------------------
+    # Golden: collect_budget >= max measured per-ray interval count (and
+    # max_windows sized to consume it), so the golden path budget-kills
+    # essentially nothing — a stand-in for the reference's uncapped march.
+    # Timed once for the record (it is the honesty cost, not a design
+    # point); the bias numbers are what matter.
+    cfg_g = prb_mod.suggest_budgets(
+        big, o, d,
+        dataclasses.replace(cfg_br, max_overlaps=32),
+        percentile=100.0, sample_rays=r,
+    )  # max_overlaps 16 still walk-truncated 1.1% of rays; 32 kills 0
+    j_g = jax.jit(lambda s: ff(cfg_g, None, s))
+    f_g, t_g, d_g = j_g(jnp_.int32(0))
+    f_g, t_g, d_g = np.asarray(f_g), np.asarray(t_g), np.asarray(d_g)
+    kill_g = float(d_g.mean())
+    live_both = ~d_br_np & ~d_g
+    agree_live = (
+        float((f_br == f_g)[live_both].mean()) if live_both.any() else 1.0
+    )
+    both = f_br & f_g
+    t_rel = float(
+        np.max(np.abs(t_br[both] - t_g[both]) / np.maximum(t_g[both], 1e-6))
+    ) if both.any() else 0.0
+    killed = d_br_np & ~d_g
+    # What the budgeted path throws away: among its killed rays, the
+    # fraction the golden scatters (vs escapes) — the actual bias content
+    # of the max_depth_primitive-style kill.
+    killed_found = float(f_g[killed].mean()) if killed.any() else 0.0
+
+    out = {
+        "prb_1M_brute_ms": round(ms_br, 1),
+        "prb_1M_kill_frac_brute": round(kill_br, 4),
+        "prb_1M_golden_budget": int(cfg_g.collect_budget),
+        "prb_1M_golden_kill_frac": round(kill_g, 4),
+        "prb_1M_live_agreement_vs_golden": round(agree_live, 4),
+        "prb_1M_t_rel_vs_golden": float(f"{t_rel:.3e}"),
+        "prb_1M_killed_found_frac": round(killed_found, 4),
+    }
     print(
-        f"prb 1M-prim free flight ({n} prims, {r} rays): cluster path"
-        f" {ms_cl:.0f} ms vs brute scan {ms_br:.0f} ms; found-agreement"
-        f" {agree_found:.1%} (live rays: {agree_live:.1%}), kill frac"
-        f" cluster {kill_cl:.2%} / brute {kill_br:.2%} (disagree"
-        f" {kill_disagree:.2%}), max rel t diff {t_rel:.2e}",
+        f"prb 1M-prim free flight ({n} prims, {r} rays): brute scan"
+        f" {ms_br:.0f} ms (the declared scaling design), kill frac"
+        f" {kill_br:.2%}; golden (budget {cfg_g.collect_budget}) kill"
+        f" frac {kill_g:.2%}, live agreement {agree_live:.1%}, max rel t"
+        f" diff {t_rel:.2e}; {killed_found:.1%} of budget-killed rays"
+        f" would scatter under the golden",
         file=sys.stderr,
     )
-    return {
-        "prb_1M_cluster_ms": round(ms_cl, 1),
-        "prb_1M_brute_ms": round(ms_br, 1),
-        "prb_1M_found_agreement": round(agree_found, 4),
-        "prb_1M_live_agreement": round(agree_live, 4),
-        "prb_1M_kill_frac_cluster": round(kill_cl, 4),
-        "prb_1M_kill_frac_brute": round(kill_br, 4),
-        "prb_1M_kill_disagreement": round(kill_disagree, 4),
-        "prb_1M_t_rel_diff": float(f"{t_rel:.3e}"),
-    }
+
+    # ---- demoted cluster-path experiment (opt-in) ------------------------
+    if os.environ.get("BENCH_PRB1M_CLUSTER") == "1":
+        cfg_cl = dataclasses.replace(
+            cfg_br, use_clusters=True, cluster_size=32,
+        )
+        index = prb_mod.build_ff_index(big, cfg_cl)
+        j_cl = jax.jit(lambda s: ff(cfg_cl, index, s))
+        f_cl, t_cl, d_cl = j_cl(jnp_.int32(0))
+        f_cl, t_cl = np.asarray(f_cl), np.asarray(t_cl)
+        d_cl_np = np.asarray(d_cl)
+        ms_cl = timeit(j_cl)
+        live = ~d_cl_np & ~d_br_np
+        out.update({
+            "prb_1M_cluster_ms": round(ms_cl, 1),
+            "prb_1M_kill_frac_cluster": round(float(d_cl_np.mean()), 4),
+            "prb_1M_kill_disagreement": round(
+                float((d_cl_np != d_br_np).mean()), 4
+            ),
+            "prb_1M_live_agreement": round(
+                float((f_cl == f_br)[live].mean()) if live.any() else 1.0, 4
+            ),
+        })
+        print(
+            f"prb 1M cluster experiment: {ms_cl:.0f} ms vs brute"
+            f" {ms_br:.0f} ms", file=sys.stderr,
+        )
+    return out
 
 
 def _probe_backend(timeout_s: int = 600) -> None:
@@ -709,9 +769,11 @@ def main():
     # gathers, no relayouts). New Mosaic variants per budget class — only
     # flip after the in-frame gather timing justifies the compiles.
     fm0 = os.environ.get("BENCH_FM", "0") == "1"
-    # BENCH_CSORT=1 (needs BENCH_FM=1): pack-time intra-cluster depth
-    # sort — +0.74 dB at 262k zero truncation for one global [Ncl, cs]
-    # argsort + table permute per frame (measured on the CPU xla probe)
+    # BENCH_CSORT=1: pack-time intra-cluster depth sort — +0.74 dB at
+    # 262k zero truncation for one global [Ncl, cs] argsort + table
+    # permute per frame (measured on the CPU xla probe). round-5: works
+    # in BOTH layouts (decoupled from feat_major); no new Mosaic variant
+    # — data permute only. Autotune owns the flip decision.
     csort0 = os.environ.get("BENCH_CSORT", "0") == "1"
     # BENCH_RESORT=1: per-primitive depth resort of the gathered tables
     # along the tile axis (the fused default composites in cluster-gather
@@ -873,8 +935,12 @@ def main():
                     backend="fused", early_exit=True, coarse_group=cg,
                     refine_fraction=0.0, refine_factor=4, kernel_batch=kb,
                     coarse_factor=cf0, super_group=sg0, budget_classes=(),
-                    kernel_compact=True, feat_major=True, cluster_sort=True,
-                    order_band=band0,
+                    # round-5: cluster_sort no longer needs feat_major
+                    # (rf_tiled decoupling) — the band rows drop the fm
+                    # layout, whose gathers measured +8 ms/frame on
+                    # hardware (r4 verdict weak #6).
+                    kernel_compact=True, feat_major=False,
+                    cluster_sort=True, order_band=band0,
                 )
                 bstate = jax.jit(
                     lambda p, c=bcfg: rf_tiled.build_state(p, c)
@@ -916,7 +982,7 @@ def main():
                     f"rf_band_mrays{sfx}": round(band_mrays, 3),
                     f"rf_band_psnr_vs_exact_db{sfx}": round(band_psnr, 2),
                     f"rf_band_config{sfx}":
-                        f"band{band0}_mc{bmc}_csort_compact_fm",
+                        f"band{band0}_mc{bmc}_csort_compact",
                 })
                 _emit_partial(dict(band_stats))
                 print(
@@ -1154,6 +1220,32 @@ def main():
                     f"{float(np.mean(np.asarray(img_p))):.5f})",
                     file=sys.stderr,
                 )
+            # The reference's ACTUAL default smoke workload is 512^2 x
+            # spp64 (render_volume.py:45-46,71) — record it too (r4
+            # verdict #6); one timed rep, it is the longest prb row.
+            prb512_64_ms = None
+            if (
+                os.environ.get("BENCH_PRB512_SPP64", "1") != "0"
+                and prb512_ms is not None
+                and prb64_ms is not None and spp64 == 64
+            ):
+                pjs5_64 = jax.jit(
+                    lambda p, s: jnp.sum(
+                        vmodels.render(
+                            p, pcam5, prb_mod.radiance, pcfg, sky,
+                            spp=spp64, seed=s,
+                        )
+                    )
+                )
+                float(pjs5_64(smoke, jnp.int32(0)))
+                t0 = time.perf_counter()
+                float(pjs5_64(smoke, jnp.int32(11)))
+                prb512_64_ms = round((time.perf_counter() - t0) * 1e3, 1)
+                print(
+                    f"prb smoke 512^2 x 64spp (the reference TRUE "
+                    f"default): {prb512_64_ms:.0f} ms",
+                    file=sys.stderr,
+                )
             prb_stats = {
                 "prb_smoke_256_ms": round(prb_s * 1e3, 1),
                 "prb_smoke_mrays": round(prb_mrays, 3),
@@ -1169,6 +1261,11 @@ def main():
                         "prb_smoke_256_spp64_mean": round(mean64, 5),
                     }
                     if prb64_ms is not None and spp64 == 64 and pres == 256
+                    else {}
+                ),
+                **(
+                    {"prb_smoke_512_spp64_ms": prb512_64_ms}
+                    if prb512_64_ms is not None and pres == 256
                     else {}
                 ),
             }

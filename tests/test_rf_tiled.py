@@ -1072,3 +1072,80 @@ def test_order_band_fused_gradients_match_xla():
             b / scale, a / scale, atol=8e-3,
             err_msg=f"banded gradient mismatch for {k}",
         )
+
+
+def test_cluster_sort_decoupled_from_feat_major():
+    """round-5 (r4 verdict #10): cluster_sort must work in the default
+    cluster-row layout too — same entry-key intra-cluster permute, so the
+    fm and non-fm csort renders must agree to layout-rounding tolerance
+    (fm is bitwise vs non-fm unsorted; the permute is shared math)."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128,
+        use_clusters=True, cluster_size=16, backend="fused",
+        kernel_compact=True, cluster_sort=True,
+    )
+    img_fm = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(feat_major=True, **kw), None,
+            spp=1, seed=0, jitter=False,
+        )
+    )
+    img_nofm = np.asarray(
+        rf_tiled.render(
+            s, cam, rf_tiled.RFTiledConfig(feat_major=False, **kw), None,
+            spp=1, seed=0, jitter=False,
+        )
+    )
+    assert np.isfinite(img_nofm).all()
+    np.testing.assert_allclose(img_nofm, img_fm, atol=1e-5)
+
+
+def test_band_classes_per_class():
+    """Per-class banding: uniform band_classes must reproduce the global
+    order_band render exactly; banding only the deepest-need class must
+    (a) stay finite, (b) equal the unbanded render on tiles owned by
+    unbanded classes, and (c) move toward the all-banded image."""
+    s = surface_scene(6400, seed=3)
+    cam = scene.CameraSpecs(
+        name="c", width=32, height=32,
+        to_world=scene.look_at([0, 0.3, -3.5], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+    )
+    kw = dict(
+        max_depth=64, srgb_primitives=False,
+        tile_pixels=256, max_candidates=512, segment=128,
+        use_clusters=True, cluster_size=16, backend="fused",
+        budget_classes=((0.5, 16), (0.5, 32)),
+    )
+
+    def render(**extra):
+        return np.asarray(
+            rf_tiled.render(
+                s, cam, rf_tiled.RFTiledConfig(**kw, **extra), None,
+                spp=1, seed=0, jitter=False,
+            )
+        )
+
+    img_b0 = render(order_band=0)
+    img_b8 = render(order_band=8)
+    img_uniform = render(order_band=0, band_classes=(8, 8))
+    np.testing.assert_allclose(img_uniform, img_b8, atol=1e-6)
+    img_top = render(order_band=0, band_classes=(0, 8))
+    assert np.isfinite(img_top).all()
+    # the partially banded image sits between the endpoints: identical to
+    # unbanded where classes are unbanded, identical to banded elsewhere
+    d_top = np.abs(img_top - img_b0) > 1e-7
+    d_all = np.abs(img_b8 - img_b0) > 1e-7
+    # banding a subset may only change a subset of the pixels banding
+    # everything changes
+    assert d_top.sum() <= d_all.sum()
+    # inherit-None entries fall back to order_band
+    img_inherit = render(order_band=8, band_classes=(None, 8))
+    np.testing.assert_allclose(img_inherit, img_b8, atol=1e-6)

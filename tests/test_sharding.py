@@ -262,3 +262,30 @@ def test_rf_tiled_compact_and_classes_sharded():
     mse = np.mean((i1 - i8) ** 2)
     psnr = -10 * np.log10(max(mse, 1e-12))
     assert psnr > 25.0, f"sharded classes PSNR {psnr:.1f}"
+
+
+def test_init_multihost_single_process_fallback():
+    """The DCN init path (SURVEY §2.2): in a single-process environment
+    jax.distributed.initialize has no coordinator, so init_multihost must
+    return False (single-process fallback) without raising — and the
+    local data mesh must keep working afterwards. On a real pod slice the
+    same call returns True and data_mesh spans all hosts."""
+    from volprim_tpu import parallel
+
+    ok = parallel.init_multihost()
+    assert ok in (False, True)  # no-raise contract; False off-pod
+    m = parallel.data_mesh()
+    assert m.devices.size == len(jax.devices())
+
+
+def test_init_multihost_bad_coordinator_is_nonfatal():
+    """Explicit-but-unreachable coordinator args must fall back to
+    single-process (returns False), not raise at import/render time."""
+    from volprim_tpu import parallel
+
+    assert parallel.init_multihost(
+        coordinator_address="127.0.0.1:1",  # nothing joins here
+        num_processes=2,
+        process_id=0,
+        timeout_s=5,
+    ) is False

@@ -168,6 +168,15 @@ class RFTiledConfig:
     # Mosaic kernel variant per (class tile-count, S) pair — warm it
     # deliberately, never right before a driver bench.
     order_band: int = 0
+    # Per-CLASS banding (round-5, r4 verdict #5: banding everywhere costs
+    # ~3x because every tile pays it; the inversions the band fixes
+    # concentrate in high-need tiles — exactly the tiles the high-budget
+    # classes already own). When set, one entry per budget_classes entry;
+    # each overrides order_band for that class (None = inherit). E.g.
+    # with 4 classes, (0, 0, 0, 16) bands only the deepest-need class.
+    # Banded classes are their own Mosaic variants — same warming
+    # discipline as order_band.
+    band_classes: tuple = ()
 
     @property
     def kernel(self) -> Kernel:
@@ -781,16 +790,26 @@ def _render_tiles(
                 )
                 sh_table = jnp.take_along_axis(sh_table, order[None], axis=2)
         else:
-            assert not cfg.cluster_sort, "cluster_sort needs feat_major"
             # cluster-row layout [Ncl, 16*cs]: ONE wide gather per tile
             # block instead of 16 narrow plane gathers (row-gathers cost
             # ~10 ns each on v5e regardless of width — 2M narrow rows took
             # ~28 ms/frame, 131k wide rows take ~2 ms + one relayout)
-            ptab_rows = (
-                ptab.reshape(16, ncl, cs)
-                .transpose(1, 0, 2)
-                .reshape(ncl, 16 * cs)
-            )
+            planes = ptab.reshape(16, ncl, cs)
+            if cfg.cluster_sort:
+                # round-5: cluster_sort decoupled from feat_major (r4
+                # verdict #10 — the band quality mode rode the fm layout
+                # only because csort lived in the fm pack path). Same
+                # entry-key intra-cluster permute, applied to the plane
+                # view before the wide-row relayout; the sh table gets
+                # the matching per-cluster column permute.
+                kl = _basis_count(state)
+                order = jnp.argsort(planes[15], axis=-1)  # [Ncl, cs]
+                planes = jnp.take_along_axis(planes, order[None], axis=2)
+                sh_table = jnp.take_along_axis(
+                    sh_table.reshape(ncl, 3 * kl, cs),
+                    order[:, None, :], axis=2,
+                ).reshape(ncl, 3 * kl * cs)
+            ptab_rows = planes.transpose(1, 0, 2).reshape(ncl, 16 * cs)
 
         if _DEBUG_STOP == "pack":
             probe = jnp.sum(keys_full, where=jnp.isfinite(keys_full)) * (
@@ -804,10 +823,31 @@ def _render_tiles(
             ) * 1e-12
             return jnp.broadcast_to(probe, (n_tiles, rt, 3))
 
-        def fused_block(cl_i, cl_v, k_here, px_b, py_b, tid_b, ax_b):
+        def fused_block(cl_i, cl_v, k_here, px_b, py_b, tid_b, ax_b,
+                        band=None):
             """Pad/gather/composite a tile block. Returns (sum-of-samples
-            [Tb, RT, 3], sample-0 beta [Tb, RT])."""
-            tb = px_b.shape[0]
+            [Tb, RT, 3], sample-0 beta [Tb, RT]). ``band`` overrides
+            cfg.order_band for this block (per-class banding)."""
+            band_here = int(cfg.order_band if band is None else band)
+            tb = tb0 = px_b.shape[0]
+            if cfg.feat_major and tb % 8:
+                # Mosaic tiling: feat-major pf/sh blocks are [F, kb, S],
+                # kb second-to-last -> must be a multiple of 8 dividing
+                # tb. Class tile counts rarely are; PAD the block with
+                # inert tiles (cl_v all-False -> n_seg 0, the kernel
+                # skips them; geometry edge-replicated so ray-gen stays
+                # finite) instead of falling back to kb = tb, whose
+                # [F, tb, S] blocks are ~6-9 MB and overflow VMEM
+                # (round-4 advisor, rf_tiled kb fallback).
+                pad_t = 8 - tb % 8
+                ep = ((0, pad_t), (0, 0))
+                cl_i = jnp.pad(cl_i, ep, mode="edge")
+                cl_v = jnp.pad(cl_v, ep)  # False: padded tiles do no work
+                px_b = jnp.pad(px_b, ep, mode="edge")
+                py_b = jnp.pad(py_b, ep, mode="edge")
+                tid_b = jnp.pad(tid_b, (0, pad_t), mode="edge")
+                ax_b = jnp.pad(ax_b, ep, mode="edge")
+                tb += pad_t
             seg = min(cfg.segment, k_here * cs)
             per_seg = max(1, seg // cs)
             if k_here % per_seg:
@@ -865,7 +905,7 @@ def _render_tiles(
                 ).reshape(3 * k_live, tb, s_here)
             else:
                 sh_small = jnp.take(
-                    state.shrows, cl_i.reshape(-1), axis=0, mode="clip"
+                    sh_table, cl_i.reshape(-1), axis=0, mode="clip"
                 )
                 sh_t = (
                     sh_small.reshape(tb, k_here, 3 * k_live, cs)
@@ -915,14 +955,16 @@ def _render_tiles(
             if cfg.feat_major:
                 # Mosaic tiling rule: the feat-major pf/sh blocks are
                 # [F, kb, S], so kb sits in the second-to-last block dim
-                # and must be a multiple of 8 (or equal the array's tile
-                # dim). CPU interpret mode never checks this — the (8,128)
-                # divisibility error only fires on real TPU lowering.
+                # and must be a multiple of 8. CPU interpret mode never
+                # checks this — the (8,128) divisibility error only fires
+                # on real TPU lowering. tb is padded to a multiple of 8
+                # above, so a multiple-of-8 divisor always exists.
                 # Round-3 measurement: kernel_batch 8 is timing-neutral.
                 kb8 = max(kb - kb % 8, 8)
                 while kb8 > 8 and tb % kb8:
                     kb8 -= 8
-                kb = kb8 if tb % kb8 == 0 else tb
+                assert tb % kb8 == 0, (tb, kb8)
+                kb = kb8
             # spp folding: stack `fold` samples' rays on the kernel's ray
             # axis — one shortlist walk serves all folded samples (pf/sh
             # DMA and per-segment fixed costs amortize; GEMM rows grow
@@ -985,7 +1027,7 @@ def _render_tiles(
                     kb,
                     cfg.kernel_compact,
                     cfg.feat_major,
-                    int(cfg.order_band),
+                    band_here,
                 )
                 if emitter is not None:
                     d = jnp.stack([dnx, dny, dnz], axis=-1)
@@ -1008,7 +1050,7 @@ def _render_tiles(
                 )
             else:
                 acc_b = acc0
-            return acc_b, beta0
+            return acc_b[:tb0], beta0[:tb0]
 
         if use_classes:
             # ---- adaptive per-tile budgets: static-fraction classes ------
@@ -1030,9 +1072,15 @@ def _render_tiles(
             assert min(counts) >= 1, (
                 f"budget class with no tiles: {counts} (n_tiles {n_tiles})"
             )
+            bands = cfg.band_classes or (None,) * len(cfg.budget_classes)
+            assert len(bands) == len(cfg.budget_classes), (
+                "band_classes must match budget_classes per class"
+            )
             acc = jnp.zeros((n_tiles, rt, 3), jnp.float32)
             start = 0
-            for cnt, (_, kb) in zip(counts, cfg.budget_classes):
+            for cnt, (_, kb), bnd in zip(
+                counts, cfg.budget_classes, bands
+            ):
                 sel = jax.lax.slice_in_dim(order, start, start + cnt)
                 start += cnt
                 k_eff = min(kb, kcap)
@@ -1048,6 +1096,7 @@ def _render_tiles(
                 acc_c, _ = fused_block(
                     ids_c, val, k_eff,
                     px0[sel], py0[sel], tile_ids[sel], axis[sel],
+                    band=bnd,
                 )
                 acc = acc.at[sel].set(acc_c)
             return acc / spp

@@ -45,13 +45,26 @@ from jax.experimental import pallas as pl
 
 _BIG = 3.0e37  # stands in for +inf inside the kernel (inf * 0 = nan traps)
 
-# A&S 7.1.26 rational erf (max abs err 1.5e-7) — fallback in case a Mosaic
-# build lacks a native erf lowering. Select with VOLPRIM_FFWALK_ERF=poly.
-_ERF_IMPL = os.environ.get("VOLPRIM_FFWALK_ERF", "lax")
+# A&S 7.1.26 rational erf (max abs err 1.5e-7). Mosaic (Pallas TPU) has NO
+# native erf lowering (verified on hardware 2026-08-20: "Unimplemented
+# primitive ... erf"), so on TPU backends the polynomial is the ONLY option
+# and is selected automatically; CPU keeps lax.erf so the bit-near tests
+# against the XLA walk stay exact. Override with VOLPRIM_FFWALK_ERF=poly|lax.
+# (Read at trace time: toggling the env after `walk` has been traced serves
+# the cached kernel — clear jax caches if you flip it mid-process.)
+
+
+def _use_poly_erf() -> bool:
+    env = os.environ.get("VOLPRIM_FFWALK_ERF", "auto")
+    if env == "poly":
+        return True
+    if env == "lax":
+        return False
+    return jax.default_backend() != "cpu"
 
 
 def _erf(x):
-    if _ERF_IMPL != "poly":
+    if not _use_poly_erf():
         return jax.lax.erf(x)
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * ax)

@@ -25,8 +25,55 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    timeout_s: Optional[int] = None,
+) -> bool:
+    """Initialize the multi-host (DCN) runtime — ``jax.distributed``.
+
+    The SURVEY §2.2 multi-host path: on a TPU pod slice each host runs
+    this before any jax call; afterwards ``jax.devices()`` is the GLOBAL
+    device list and :func:`data_mesh` spans all hosts (XLA routes the
+    mesh collectives over ICI within a slice and DCN across slices — the
+    sharding code does not change). On Cloud TPU all three arguments are
+    discovered from the metadata server, so ``init_multihost()`` with no
+    arguments is the common call; set them explicitly for GPU/CPU
+    clusters (coordinator ``host:port``, world size, rank).
+
+    Returns True when the distributed runtime was initialized (or already
+    was), False when running single-process (no coordinator reachable /
+    single-host environment) — callers proceed identically either way,
+    which keeps the one-chip path dependency-free.
+    """
+    try:
+        state = jax.distributed.global_state
+        if getattr(state, "client", None) is not None:
+            return True  # already initialized (idempotent)
+    except Exception:  # pragma: no cover - very old jax
+        pass
+    kwargs = {}
+    if timeout_s is not None:
+        kwargs["initialization_timeout"] = timeout_s
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+        return True
+    except Exception:
+        # Single-process environment (no TPU metadata, no coordinator):
+        # the 1-D mesh over local devices still works.
+        return False
+
+
 def data_mesh(devices=None, axis: str = "data") -> Mesh:
-    """1-D mesh over all (or the given) devices."""
+    """1-D mesh over all (or the given) devices. After
+    :func:`init_multihost` on a pod slice this spans every host's chips
+    (jax.devices() is global there)."""
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
 
