@@ -586,11 +586,37 @@ def bench_prb_cluster_1m(jax, jnp, vp):
     # essentially nothing — a stand-in for the reference's uncapped march.
     # Timed once for the record (it is the honesty cost, not a design
     # point); the bias numbers are what matter.
-    cfg_g = prb_mod.suggest_budgets(
+    # The golden must also cover the scene's simultaneous open-interval
+    # DEPTH: a window advances only while <= max_overlaps intervals are
+    # open, so depth > max_overlaps stalls the walk into the no-progress
+    # kill (measured: the first hardware golden at max_overlaps=32 still
+    # killed 57% of rays at 1M; a 60k CPU probe shows open depth p90=26 /
+    # max=50 and mo=64 kills 0). Size it from a measured event sweep over
+    # a full collection, capped at 256 ([R, 2K-1, K] walk memory).
+    cfg_sz = prb_mod.suggest_budgets(
         big, o, d,
         dataclasses.replace(cfg_br, max_overlaps=32),
         percentile=100.0, sample_rays=r,
-    )  # max_overlaps 16 still walk-truncated 1.1% of rays; 32 kills 0
+    )
+    e_pr, x_pr, *_ = prb_mod._collect_intervals(big, None, o, d, cfg_sz)
+    e_np, x_np = np.asarray(e_pr), np.asarray(x_pr)
+    depth_max = 0
+    for i in range(e_np.shape[0]):
+        fin = np.isfinite(e_np[i])
+        if not fin.any():
+            continue
+        ts = np.concatenate([e_np[i][fin], x_np[i][fin]])
+        sg = np.concatenate(
+            [np.ones(fin.sum(), np.int32), -np.ones(fin.sum(), np.int32)]
+        )
+        ordr = np.argsort(ts, kind="stable")
+        depth_max = max(depth_max, int(np.cumsum(sg[ordr]).max()))
+    mo_g = int(min(256, max(32, 1 << int(np.ceil(np.log2(depth_max + 1))))))
+    cfg_g = prb_mod.suggest_budgets(
+        big, o, d,
+        dataclasses.replace(cfg_br, max_overlaps=mo_g),
+        percentile=100.0, sample_rays=r,
+    )
     j_g = jax.jit(lambda s: ff(cfg_g, None, s))
     f_g, t_g, d_g = j_g(jnp_.int32(0))
     f_g, t_g, d_g = np.asarray(f_g), np.asarray(t_g), np.asarray(d_g)
@@ -613,6 +639,8 @@ def bench_prb_cluster_1m(jax, jnp, vp):
         "prb_1M_brute_ms": round(ms_br, 1),
         "prb_1M_kill_frac_brute": round(kill_br, 4),
         "prb_1M_golden_budget": int(cfg_g.collect_budget),
+        "prb_1M_golden_overlaps": mo_g,
+        "prb_1M_open_depth_max": depth_max,
         "prb_1M_golden_kill_frac": round(kill_g, 4),
         "prb_1M_live_agreement_vs_golden": round(agree_live, 4),
         "prb_1M_t_rel_vs_golden": float(f"{t_rel:.3e}"),
@@ -1188,11 +1216,18 @@ def main():
             # BENCH_PRB64_SPP: smoke knob — the spp64 metric keys are only
             # written at the reference's true spp=64
             spp64 = int(os.environ.get("BENCH_PRB64_SPP", "64"))
+            # BENCH_PRB_SPP_GROUP: samples folded per wavefront (round-5
+            # spp amortization — prb frame cost is strongly sublinear in
+            # rays: 512^2 x1 = 361 ms vs 4 x 166 ms at 256^2, so g=4
+            # projects the spp-64 row from 9.6 s to ~6 s). g=4 keeps the
+            # grouped wavefront at the proven 512^2 size; estimator
+            # unchanged (per-ray counter RNG), guarded by the mean check.
+            g64 = int(os.environ.get("BENCH_PRB_SPP_GROUP", "4"))
             if os.environ.get("BENCH_PRB64", "1") != "0":
                 pj64 = jax.jit(
                     lambda p, s: vmodels.render(
                         p, pcam, prb_mod.radiance, pcfg, sky, spp=spp64,
-                        seed=s
+                        seed=s, spp_group=g64,
                     )
                 )
                 img64 = np.asarray(pj64(smoke, jnp.int32(0)))
@@ -1202,7 +1237,7 @@ def main():
                     lambda p, s: jnp.sum(
                         vmodels.render(
                             p, pcam, prb_mod.radiance, pcfg, sky,
-                            spp=spp64, seed=s,
+                            spp=spp64, seed=s, spp_group=g64,
                         )
                     )
                 )
@@ -1229,11 +1264,14 @@ def main():
                 and prb512_ms is not None
                 and prb64_ms is not None and spp64 == 64
             ):
+                # cap the grouped wavefront at ~512k rays (2x the proven
+                # 512^2 size) — the 512^2 film already carries 262k rays
+                g512 = max(1, min(g64, 524288 // (4 * pres * pres)))
                 pjs5_64 = jax.jit(
                     lambda p, s: jnp.sum(
                         vmodels.render(
                             p, pcam5, prb_mod.radiance, pcfg, sky,
-                            spp=spp64, seed=s,
+                            spp=spp64, seed=s, spp_group=g512,
                         )
                     )
                 )
@@ -1268,6 +1306,7 @@ def main():
                     if prb512_64_ms is not None and pres == 256
                     else {}
                 ),
+                "prb_smoke_spp_group": g64,
             }
             print(
                 f"prb smoke 256^2x1spp: {prb_s * 1e3:.0f} ms "

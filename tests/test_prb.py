@@ -330,3 +330,41 @@ def test_suggest_budgets_covers_need():
     assert cfg2.collect_budget % 16 == 0
     # windows can consume the whole budget
     assert cfg2.max_windows * cfg2.max_overlaps >= cfg2.collect_budget
+
+
+def test_spp_group_estimator_equivalent():
+    """render(spp_group=g) folds g samples into one wavefront (round-5 spp
+    amortization). The estimator must be unchanged: g=1 reproduces the
+    ungrouped render bitwise (same key path), and grouped renders agree
+    with the ungrouped mean within Monte Carlo noise."""
+    from volprim_tpu import models as vmodels
+
+    s = single_gaussian(sigma_t=6.0, albedo=0.8)
+    sky = envmap.procedural_sky()
+    cam = scene.CameraSpecs(
+        name="c", width=16, height=16,
+        to_world=scene.look_at([0, 0, -3.0], [0, 0, 0], [0, 1, 0]),
+        fov=35.0,
+    )
+    cfg = PRBConfig(max_overlaps=4, max_windows=4, chunk_size=256,
+                    bounce_cap=8)
+
+    def render(spp, g):
+        return np.asarray(
+            vmodels.render(
+                s, cam, radiance, cfg, sky, spp=spp, seed=7, spp_group=g
+            )
+        )
+
+    img_a = render(8, 1)
+    img_a2 = render(8, 1)
+    np.testing.assert_array_equal(img_a, img_a2)  # deterministic
+    img_g = render(8, 4)
+    assert np.isfinite(img_g).all()
+    # same estimator, different sample keys: means agree to MC noise
+    assert abs(img_g.mean() - img_a.mean()) < 6.0 * img_a.std() / np.sqrt(
+        img_a.size / 3
+    )
+    # non-divisible group sizes fall back to the largest divisor
+    img_g3 = render(8, 3)  # g -> 2
+    assert np.isfinite(img_g3).all()
