@@ -93,3 +93,53 @@ def test_scaled():
     half = cam.scaled(0.5)
     assert half.width == 50 and half.height == 40
     assert abs(half.fov - cam.fov) < 1e-6
+
+
+def test_colmap_points3d_roundtrip(tmp_path):
+    """points3D text/binary readers (format completeness vs the reference
+    colmap_loader.py:252-304): write text, read back; synthesize the
+    binary layout by hand and read it; array conversion for cloud
+    seeding."""
+    import struct
+
+    import numpy as np
+
+    from volprim_tpu.scene import colmap
+
+    pts = {
+        7: colmap.Point3D(
+            7, np.array([1.0, 2.0, 3.0]), np.array([10, 20, 30], np.uint8),
+            0.5, np.array([1, 2], np.int32), np.array([4, 5], np.int32),
+        ),
+        9: colmap.Point3D(
+            9, np.array([-1.0, 0.0, 4.0]), np.array([0, 255, 7], np.uint8),
+            1.25, np.zeros(0, np.int32), np.zeros(0, np.int32),
+        ),
+    }
+    txt = tmp_path / "points3D.txt"
+    colmap.write_points3D_text(pts, str(txt))
+    back = colmap.read_points3D_text(str(txt))
+    assert set(back) == {7, 9}
+    np.testing.assert_allclose(back[7].xyz, pts[7].xyz)
+    assert back[7].error == 0.5
+    np.testing.assert_array_equal(back[7].image_ids, [1, 2])
+    np.testing.assert_array_equal(back[7].point2d_idxs, [4, 5])
+
+    binp = tmp_path / "points3D.bin"
+    with open(binp, "wb") as f:
+        f.write(struct.pack("<Q", len(pts)))
+        for p in pts.values():
+            f.write(struct.pack(
+                "<QdddBBBd", p.id, *p.xyz, *p.rgb.tolist(), p.error
+            ))
+            f.write(struct.pack("<Q", len(p.image_ids)))
+            for i, j in zip(p.image_ids, p.point2d_idxs):
+                f.write(struct.pack("<ii", int(i), int(j)))
+    backb = colmap.read_points3D_binary(str(binp))
+    assert set(backb) == {7, 9}
+    np.testing.assert_allclose(backb[9].xyz, pts[9].xyz)
+    np.testing.assert_array_equal(backb[7].rgb, pts[7].rgb)
+
+    xyz, rgb = colmap.points3D_to_arrays(backb)
+    assert xyz.shape == (2, 3) and rgb.shape == (2, 3)
+    assert rgb.max() <= 1.0 and rgb.dtype == np.float32

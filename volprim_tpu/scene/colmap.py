@@ -175,3 +175,85 @@ def write_extrinsics_text(images: dict[int, Image], path: str):
             q = " ".join(str(v) for v in im.qvec)
             t = " ".join(str(v) for v in im.tvec)
             f.write(f"{im.id} {q} {t} {im.camera_id} {im.name}\n\n")
+
+
+@dataclass
+class Point3D:
+    id: int
+    xyz: np.ndarray  # (3,)
+    rgb: np.ndarray  # (3,) uint8
+    error: float
+    image_ids: np.ndarray  # (track,) int32
+    point2d_idxs: np.ndarray  # (track,) int32
+
+
+def read_points3D_binary(path: str) -> dict[int, Point3D]:
+    """points3D.bin: the sparse reconstruction's 3D track points
+    (reference parity: colmap_loader.py:269-304; unused by the camera
+    pipeline there too, provided for format completeness — e.g. seeding
+    a splat cloud from the SfM points)."""
+    points = {}
+    with open(path, "rb") as f:
+        (num,) = _read(f, "<Q")
+        for _ in range(num):
+            vals = _read(f, "<QdddBBBd")
+            pid = vals[0]
+            xyz = np.array(vals[1:4])
+            rgb = np.array(vals[4:7], dtype=np.uint8)
+            error = float(vals[7])
+            (track,) = _read(f, "<Q")
+            pairs = np.array(_read(f, f"<{2 * track}i")).reshape(-1, 2) if (
+                track
+            ) else np.zeros((0, 2), np.int32)
+            points[pid] = Point3D(
+                pid, xyz, rgb, error,
+                pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32),
+            )
+    return points
+
+
+def read_points3D_text(path: str) -> dict[int, Point3D]:
+    """points3D.txt (reference parity: colmap_loader.py:252-267)."""
+    points = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            pid = int(parts[0])
+            xyz = np.array([float(v) for v in parts[1:4]])
+            rgb = np.array([int(v) for v in parts[4:7]], dtype=np.uint8)
+            error = float(parts[7])
+            tr = np.array([int(v) for v in parts[8:]], dtype=np.int32)
+            points[pid] = Point3D(
+                pid, xyz, rgb, error, tr[0::2].copy(), tr[1::2].copy()
+            )
+    return points
+
+
+def write_points3D_text(points: dict[int, Point3D], path: str):
+    with open(path, "w") as f:
+        f.write(
+            "# 3D point list: POINT3D_ID, X Y Z, R G B, ERROR, "
+            "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+        )
+        for p in points.values():
+            tr = " ".join(
+                f"{i} {j}" for i, j in zip(p.image_ids, p.point2d_idxs)
+            )
+            f.write(
+                f"{p.id} {p.xyz[0]} {p.xyz[1]} {p.xyz[2]} "
+                f"{p.rgb[0]} {p.rgb[1]} {p.rgb[2]} {p.error} {tr}\n"
+            )
+
+
+def points3D_to_arrays(points: dict[int, Point3D]):
+    """(xyz [N, 3] f32, rgb [N, 3] f32 in [0, 1]) — the splat-cloud seed
+    shape used by the dataset tooling."""
+    ids = sorted(points)
+    xyz = np.stack([points[i].xyz for i in ids]).astype(np.float32)
+    rgb = (
+        np.stack([points[i].rgb for i in ids]).astype(np.float32) / 255.0
+    )
+    return xyz, rgb
