@@ -116,9 +116,15 @@ class PRBConfig:
     # like the reference's BVH march which keeps querying as it advances.
     # Rounds with no pinned rays are lax.cond-skipped (one any() reduce),
     # so benign scenes pay nothing; the body is traced once (lax.scan).
+    # COMPILE cost (round-4 advisor): the traced graph carries a second
+    # full collection+walk (the scan body) on top of the initial one —
+    # on remote-compile backends that roughly doubles the prb compile.
+    # Set collect_rounds=1 for compile-sensitive configs (restores the
+    # single-shot round-3 behavior); each round re-collects over the full
+    # chunk wavefront (pending-ray compaction would need a second
+    # dynamic-shape machinery for a path that usually cond-skips).
     # Without this, a collect_budget=128 walk on an ~80x-overlapped scene
-    # budget-killed 100% of rays (round-4 bench kill metric). 1 restores
-    # the single-shot round-3 behavior.
+    # budget-killed 100% of rays (round-4 bench kill metric).
     collect_rounds: int = 8
     # Adaptive per-bounce capacity (round 3): bounces >= tail_after run
     # with these smaller caps (0 = inherit the main cap). Cost per bounce
