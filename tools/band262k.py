@@ -65,6 +65,14 @@ CONFIGS = {
     "mc4096-csort-band16": dict(
         gc=4, mc=4096, resort="cluster-entry", band=16
     ),
+    # round 5: half-band candidates — the band ops scale linearly in the
+    # band width, so band8 walks ~35% cheaper than band16 if quality holds
+    "mc4096-csort-band8": dict(
+        gc=4, mc=4096, resort="cluster-entry", band=8
+    ),
+    "mc8192-csort-band8": dict(
+        gc=4, mc=8192, resort="cluster-entry", band=8
+    ),
     "mc8192-csort-band16": dict(
         gc=4, mc=8192, resort="cluster-entry", band=16
     ),

@@ -93,11 +93,36 @@ cams_test = [
 
 ecfg = rf.RFConfig(max_depth=128, kernel_type="gaussian", chunk_size=2048)
 
+# Block-streamed exact renderer: the monolithic [res^2 x spp] exact graph
+# at 1M splats CRASHED the TPU tunnel worker (first queue run, 13:19Z) —
+# stream fixed 16384-ray blocks through one jitted radiance instead (the
+# bench exact-golden pattern). Box-filter semantics: each jittered sample
+# lands in its own pixel, so blocks are separable and the average over
+# spp seeds is the same estimator vp.models.render computes.
+_BLK = 16384
+
+
+def _exact_image(scene_eval, cam, seed):
+    from volprim_tpu.models.base import _film_coords, rays_from_pixels
+
+    h, w = cam.height, cam.width
+    jrad = jax.jit(
+        lambda o_, d_, k_: rf.radiance(scene_eval, None, o_, d_, ecfg, k_)
+    )
+    acc = np.zeros((h * w, 3), np.float32)
+    base = jax.random.PRNGKey(seed)
+    for s in range(args.spp):
+        kf, kr = jax.random.split(jax.random.fold_in(base, s))
+        px, py = _film_coords(cam, kf, jitter=True)
+        o, d = rays_from_pixels(cam, px, py)
+        for b0 in range(0, h * w, _BLK):
+            sl = slice(b0, min(b0 + _BLK, h * w))
+            acc[sl] += np.asarray(jrad(o[sl], d[sl], kr))
+    return (acc / args.spp).reshape(h, w, 3)
+
 
 def render_exact(cam, seed):
-    return vp.models.render(
-        scene_true, cam, rf.radiance, ecfg, None, spp=args.spp, seed=seed
-    )
+    return _exact_image(scene_true, cam, seed)
 
 
 print(f"[refine_truck] GT: {args.n_splats} splats, "
@@ -106,7 +131,7 @@ print(f"[refine_truck] GT: {args.n_splats} splats, "
 gt = {}
 for i, cam in enumerate(cams_train + cams_test):
     t0 = time.time()
-    img = np.asarray(jax.jit(lambda s: render_exact(cam, s))(jnp.int32(i)))
+    img = render_exact(cam, i)
     gt[cam.name] = img
     np.save(os.path.join(img_dir, f"{cam.name}.npy"), img)
     print(f"  GT {cam.name}: {time.time() - t0:.1f}s "
@@ -139,14 +164,7 @@ vp.cameras.JSONCameraSpecsIO.write(cams_train, cam_path)
 def heldout_psnr(scene_eval, tag):
     vals = []
     for i, cam in enumerate(cams_test):
-        img = np.asarray(
-            jax.jit(
-                lambda s: vp.models.render(
-                    scene_eval, cam, rf.radiance, ecfg, None,
-                    spp=args.spp, seed=s,
-                )
-            )(jnp.int32(1000 + i))
-        )
+        img = _exact_image(scene_eval, cam, 1000 + i)
         mse = float(np.mean((img - gt[cam.name]) ** 2))
         vals.append(-10 * np.log10(max(mse, 1e-12)))
     p = float(np.mean(vals))
