@@ -1217,12 +1217,13 @@ def main():
             # written at the reference's true spp=64
             spp64 = int(os.environ.get("BENCH_PRB64_SPP", "64"))
             # BENCH_PRB_SPP_GROUP: samples folded per wavefront (round-5
-            # spp amortization — prb frame cost is strongly sublinear in
-            # rays: 512^2 x1 = 361 ms vs 4 x 166 ms at 256^2, so g=4
-            # projects the spp-64 row from 9.6 s to ~6 s). g=4 keeps the
-            # grouped wavefront at the proven 512^2 size; estimator
-            # unchanged (per-ray counter RNG), guarded by the mean check.
-            g64 = int(os.environ.get("BENCH_PRB_SPP_GROUP", "4"))
+            # spp amortization experiment). MEASURED NEGATIVE on hardware
+            # (2026-08-20): g=4 gave 9953 ms vs 9559 ms ungrouped at
+            # 256^2 x 64spp — prb cost is ray-linear; the 512^2-frame
+            # sublinearity that motivated it comes from ray coherence
+            # (finer pixels -> more chunk-skipping), which grouped
+            # jitters of a coarser film do not reproduce. Default 1.
+            g64 = int(os.environ.get("BENCH_PRB_SPP_GROUP", "1"))
             if os.environ.get("BENCH_PRB64", "1") != "0":
                 pj64 = jax.jit(
                     lambda p, s: vmodels.render(

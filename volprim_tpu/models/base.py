@@ -110,12 +110,12 @@ def render(
 
     ``spp_group`` folds that many samples into ONE wavefront per scan
     step (rays stacked on the batch axis). The estimator is unchanged —
-    each sample keeps its own fold_in key — but per-dispatch wavefront
-    machinery amortizes: the prb frame cost is strongly sublinear in the
-    ray count (hardware: 4x rays cost 2.2x — 512^2 361 ms vs 4 x 166 ms
-    at 256^2), so grouped spp cuts the spp-64 workload ~40%+. Memory
-    scales with the group (prb interval arrays are [G*R, budget]); 4-8 is
-    the practical range at 256^2.
+    per-ray counter RNG draws independent variates across the folded
+    batch; g=1 keeps the original key path bitwise. Measured on TPU
+    (round 5): prb cost is ray-LINEAR, so grouping does not speed the
+    smoke spp-64 workload (9953 ms at g=4 vs 9559 ungrouped) — the knob
+    remains for workloads whose per-dispatch overhead dominates (very
+    small films). Memory scales with the group.
     """
     h, w = camera.height, camera.width
     splat = filters.splat_tent if rfilter == "tent" else filters.splat_box
