@@ -18,6 +18,28 @@ if not _os.environ.get("VOLPRIM_TPU_NO_COMPILE_CACHE"):
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.expanduser("~/.cache/volprim_tpu_xla"),
     )
+    # CPU-backend executables are host-AOT: entries written on a machine
+    # with different CPU features SIGILL/abort when loaded here (the
+    # session VMs change hosts between rounds; observed as
+    # "cpu_aot_loader ... could lead to execution errors such as SIGILL"
+    # followed by suite aborts). Key the CPU cache per host-feature set;
+    # TPU (axon) executables are device binaries and stay shared.
+    if "cpu" in str(_jax.config.jax_platforms or ""):
+        import hashlib as _hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = next(
+                    (ln for ln in _f if ln.startswith("flags")), ""
+                )
+        except Exception:  # noqa: BLE001 - fall back to a shared dir
+            _flags = ""
+        if _flags:
+            _cache_dir = (
+                _cache_dir
+                + "_cpu_"
+                + _hashlib.sha1(_flags.encode()).hexdigest()[:12]
+            )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
@@ -27,7 +49,9 @@ if not _os.environ.get("VOLPRIM_TPU_NO_COMPILE_CACHE"):
         # ~6.4 GB suite RSS (round-4 judge) — never runs. An absurd
         # min-compile-time threshold is jax's supported way to suppress
         # puts without disabling gets.
-        _ro = _os.environ.get("VOLPRIM_TPU_COMPILE_CACHE_READONLY")
+        _ro = _os.environ.get(
+            "VOLPRIM_TPU_COMPILE_CACHE_READONLY"
+        ) not in (None, "", "0")
         _jax.config.update(
             "jax_persistent_cache_min_compile_time_secs",
             1.0e9 if _ro else 2.0,
