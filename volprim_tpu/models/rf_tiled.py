@@ -162,8 +162,10 @@ class RFTiledConfig:
     # the reference composites every ray in exact depth order via its
     # BVH march (volprim_rf.py:124-146). Supported by the 'xla' backend
     # (plain-AD differentiable) and the 'fused' kernel (log-space
-    # pltpu.roll form; render/forward only — the backward kernel has no
-    # banded adjoint and raises). With kernel_compact the band applies
+    # pltpu.roll form; differentiable — the backward kernel applies the
+    # transposed band operator, test_order_band_fused_gradients_match_xla;
+    # note training THROUGH the band converges worse than exact-trained,
+    # tools/convergence_eval --band). With kernel_compact the band applies
     # to the compacted stream. NOTE (TPU cost): order_band > 0 is a NEW
     # Mosaic kernel variant per (class tile-count, S) pair — warm it
     # deliberately, never right before a driver bench.
