@@ -58,7 +58,7 @@ def _apply_tuning() -> None:
     bench executes the best measured configuration even when no builder
     session is around to flip defaults. Explicit environment variables
     always win over the file; delete the file to fall back to built-ins."""
-    path = os.path.join(
+    path = os.environ.get("BENCH_TUNING_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_TUNING.json"
     )
     if not os.path.exists(path):

@@ -63,24 +63,23 @@ def test_emit_partial_respects_no_details(tmp_path, monkeypatch):
 
 
 def test_apply_tuning_env_wins(tmp_path, monkeypatch):
+    # BENCH_TUNING_PATH redirects the read (a REAL repo-root
+    # BENCH_TUNING.json exists since round 5 — tests must not touch it)
     b = _load_bench(tmp_path, monkeypatch)
-    tuning_path = os.path.join(_REPO, "BENCH_TUNING.json")
-    assert not os.path.exists(tuning_path), (
-        "a real BENCH_TUNING.json exists; this test writes/removes a "
-        "temporary one and must not clobber it"
-    )
+    tuning_path = str(tmp_path / "BENCH_TUNING.json")
+    monkeypatch.setenv("BENCH_TUNING_PATH", tuning_path)
+    with open(tuning_path, "w") as f:
+        json.dump(
+            {
+                "BENCH_FM": "1",
+                "BENCH_CSORT": "1",
+                "VOLPRIM_FFWALK_ERF": "poly",
+                "_decided_by": "test",
+                "NOT_A_BENCH_KEY": "1",
+            },
+            f,
+        )
     try:
-        with open(tuning_path, "w") as f:
-            json.dump(
-                {
-                    "BENCH_FM": "1",
-                    "BENCH_CSORT": "1",
-                    "VOLPRIM_FFWALK_ERF": "poly",
-                    "_decided_by": "test",
-                    "NOT_A_BENCH_KEY": "1",
-                },
-                f,
-            )
         monkeypatch.delenv("BENCH_FM", raising=False)
         monkeypatch.setenv("BENCH_CSORT", "0")  # explicit env must win
         monkeypatch.delenv("NOT_A_BENCH_KEY", raising=False)
@@ -91,7 +90,6 @@ def test_apply_tuning_env_wins(tmp_path, monkeypatch):
         assert os.environ["VOLPRIM_FFWALK_ERF"] == "poly"
         assert "NOT_A_BENCH_KEY" not in os.environ
     finally:
-        os.remove(tuning_path)
         # set by _apply_tuning, not by monkeypatch — they would leak
         # into later tests otherwise
         os.environ.pop("BENCH_FM", None)
@@ -100,7 +98,9 @@ def test_apply_tuning_env_wins(tmp_path, monkeypatch):
 
 def test_apply_tuning_missing_file_is_noop(tmp_path, monkeypatch):
     b = _load_bench(tmp_path, monkeypatch)
-    assert not os.path.exists(os.path.join(_REPO, "BENCH_TUNING.json"))
+    monkeypatch.setenv(
+        "BENCH_TUNING_PATH", str(tmp_path / "no_such_tuning.json")
+    )
     before = dict(os.environ)
     b._apply_tuning()
     assert dict(os.environ) == before
