@@ -3,14 +3,15 @@ multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# The persistent XLA compile cache segfaulted the monolithic suite run
-# (round-4 judge: 2/2 crashes inside compilation_cache.put_executable_and_time
-# at ~6.4 GB suite RSS; the same test passes alone). Fully disabling the
-# cache made the suite recompile everything cold (>30 min). Run the suite
-# with cache READS but no writes: the crash is in the write path only.
-# Must be set BEFORE volprim_tpu is first imported (this conftest runs at
-# collection start, so it is) — volprim_tpu/__init__.py reads it.
-os.environ.setdefault("VOLPRIM_TPU_COMPILE_CACHE_READONLY", "1")
+# The persistent XLA compile cache is UNSAFE under suite memory pressure:
+# round 4 segfaulted 2/2 in the WRITE path (put_executable_and_time);
+# round-5 repros crashed in the READ path too (get_executable_and_time,
+# deserializing the large radiosity executable at test_tooling.py:178 —
+# even from a freshly-written same-host entry). The same test passes
+# alone. Run the suite with NO persistent cache at all; the cold
+# monolithic suite measured ~27 min. Must be set BEFORE volprim_tpu is
+# first imported (this conftest runs at collection start, so it is).
+os.environ.setdefault("VOLPRIM_TPU_NO_COMPILE_CACHE", "1")
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
