@@ -131,9 +131,17 @@ print(f"[refine_truck] GT: {args.n_splats} splats, "
 gt = {}
 for i, cam in enumerate(cams_train + cams_test):
     t0 = time.time()
+    # GT views are deterministic in (scene seed, camera, view seed):
+    # resume from disk across queue retries — the tunnel died mid-GT
+    # once and re-rendering ~5.4 min/view is the dominant retry cost
+    path = os.path.join(img_dir, f"{cam.name}.npy")
+    if os.path.exists(path):
+        gt[cam.name] = np.load(path)
+        print(f"  GT {cam.name}: cached", flush=True)
+        continue
     img = render_exact(cam, i)
     gt[cam.name] = img
-    np.save(os.path.join(img_dir, f"{cam.name}.npy"), img)
+    np.save(path, img)
     print(f"  GT {cam.name}: {time.time() - t0:.1f}s "
           f"mean={img.mean():.4f}", flush=True)
 
