@@ -136,9 +136,14 @@ for i, cam in enumerate(cams_train + cams_test):
     # once and re-rendering ~5.4 min/view is the dominant retry cost
     path = os.path.join(img_dir, f"{cam.name}.npy")
     if os.path.exists(path):
-        gt[cam.name] = np.load(path)
-        print(f"  GT {cam.name}: cached", flush=True)
-        continue
+        cached = np.load(path)
+        # validate the resolution — a --tiny smoke shares the default
+        # workdir and its 64^2 views must never satisfy a full run
+        # (retry2 died on exactly that shape mismatch)
+        if cached.shape == (args.res, args.res, 3):
+            gt[cam.name] = cached
+            print(f"  GT {cam.name}: cached", flush=True)
+            continue
     img = render_exact(cam, i)
     gt[cam.name] = img
     np.save(path, img)
