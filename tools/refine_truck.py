@@ -189,6 +189,23 @@ psnr_init = heldout_psnr(scene_init, "initial")
 
 # ---- train via the actual CLI ---------------------------------------------
 out_dir = os.path.join(args.workdir, "out")
+
+# Resume: a previous run trained all iterations and saved the refined
+# asset, then the TPU worker died on the CLI's final preview render —
+# don't retrain, just evaluate (the asset is validated by splat count;
+# a --tiny smoke's 4096-splat asset can share the workdir).
+_asset_dir = os.path.join(out_dir, "refined_asset")
+_resume = False
+if os.path.exists(os.path.join(_asset_dir, "primitives.ply")):
+    try:
+        _prev = vp.scene.load_asset(_asset_dir)["primitives"]
+        _resume = _prev.num_prims == args.n_splats
+    except Exception:
+        _resume = False
+if _resume:
+    print("[refine_truck] refined asset found on disk — skipping training",
+          flush=True)
+
 t_train = time.time()
 sys.argv = [
     "refine_3dg_dataset.py",
@@ -206,10 +223,11 @@ sys.argv = [
     "--max_depth", "128",
     "--write_image_every", "1000000",
 ]
-runpy.run_path(
-    os.path.join(_repo, "examples", "refine_3dg_dataset.py"),
-    run_name="__main__",
-)
+if not _resume:
+    runpy.run_path(
+        os.path.join(_repo, "examples", "refine_3dg_dataset.py"),
+        run_name="__main__",
+    )
 train_s = time.time() - t_train
 
 # ---- evaluate the trained asset with the EXACT renderer at equal spp ------
@@ -234,6 +252,9 @@ block = {
     "heldout_psnr_noise_floor_db": round(psnr_noise, 2),
     "train_wall_s": round(train_s, 1),
     "total_wall_s": round(time.time() - t_all, 1),
+    # resumed runs evaluate a previously-trained asset (train_wall_s is
+    # then not the training cost; the interrupted run's log has it)
+    **({"train_resumed": True} if _resume else {}),
 }
 # tiny mode is a smoke test: keep its numbers out of the ledgered block
 out_json = (
