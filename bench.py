@@ -287,14 +287,16 @@ def bench_2m(jax, jnp, vp, rf_tiled, cfg):
             for p in cls2.split(",") if p
         )
     # round-5 quality levers toward the ~25.9 dB 2M ordering ceiling:
-    # - BENCH_2M_CSORT (default 1): pack-time intra-cluster entry sort —
-    #   a pure data permute (no new Mosaic variant), +0.2-0.3 dB on the
-    #   CPU probes (diag2m csort rows), ~2-5 ms/frame argsort cost.
+    # - BENCH_2M_CSORT (default 0 — MEASURED BAD TRADE at 2M): the
+    #   per-frame permute of the [16, Ncl, cs] + [Ncl, 3k*cs] tables is
+    #   ~0.3 GB of HBM shuffle at 131k clusters: hardware measured
+    #   6.99 -> 5.50 Mrays (-21%) for +0.15 dB. (At 262k the same knob
+    #   costs 2.4% for +0.84 dB and is ON via BENCH_TUNING.)
     # - BENCH_2M_BAND (opt-in CSV, e.g. "0,0,0,16"): per-class banding —
     #   bands only the listed classes; each banded (tile-count, S) pair
     #   is a FRESH Mosaic variant, so warm it via a queue job before any
     #   driver bench.
-    if os.environ.get("BENCH_2M_CSORT", "1") == "1":
+    if os.environ.get("BENCH_2M_CSORT", "0") == "1":
         repl["cluster_sort"] = True
     band2 = os.environ.get("BENCH_2M_BAND", "")
     if band2:
